@@ -1,0 +1,189 @@
+"""Coordinate hierarchy + kernel maps for sparse U-Nets.
+
+This is the TPU replacement for MinkowskiEngine's CoordinateManager and
+cached kernel maps (reference: model/backbone/minkunet.py uses k=3 s=1 convs
+inside blocks at every stride level, k=2 s=2 convs/transpose-convs between
+levels).  We precompute, per stride level:
+
+- the unique voxel set (sorted packed keys),
+- the 27-neighbour table for k=3 s=1 convs (``nbr_idx``/``nbr_hit``),
+- parent links (index of the stride-2L parent + which of the 8 child octants
+  this voxel occupies) for stride-2 transpose convs,
+- child tables (for each parent, its up-to-8 children) for stride-2 convs
+  and max-pools.
+
+Because the U-Net is coordinate-symmetric, transpose convs simply reuse the
+finer level's cached coordinate set — exactly ME's behaviour when the target
+stride already exists in its coordinate manager (SURVEY.md §2.1), and the
+reason no generative coordinate logic is needed.
+
+Neighbour lookups are binary searches (``jnp.searchsorted``) over the sorted
+keys — O(N log N) with fully static shapes, XLA-friendly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .types import COORD_BITS, COORD_RANGE, KEY_PAD, SparseVoxels, pack_key, unpack_key
+
+# Offset enumeration orders (static numpy, baked into the jit program).
+# K3_OFFSETS matches ME's region iteration order for kernel_size=3 (z fastest).
+K3_OFFSETS = np.array(
+    [[dx, dy, dz] for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)],
+    dtype=np.int32,
+)
+K2_OFFSETS = np.array(
+    [[dx, dy, dz] for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)],
+    dtype=np.int32,
+)
+
+
+def _lookup(sorted_keys, queries):
+    """Binary-search queries in per-item sorted keys.
+
+    sorted_keys: [N] ascending (padding = KEY_PAD).
+    queries:     [M] packed keys (KEY_PAD for invalid queries).
+    Returns (idx [M] int32 clamped to [0, N-1], hit [M] bool).
+    """
+    n = sorted_keys.shape[0]
+    idx = jnp.searchsorted(sorted_keys, queries, side="left").astype(jnp.int32)
+    idx = jnp.minimum(idx, n - 1)
+    hit = (sorted_keys[idx] == queries) & (queries < KEY_PAD)
+    return idx, hit
+
+
+def _neighbor_table_one(off, key, valid, offsets):
+    """27 (or 8) neighbour indices for one item. off [N,3], key [N] sorted."""
+    def per_offset(d):
+        q_off = off + d
+        in_range = jnp.all((q_off >= 0) & (q_off < COORD_RANGE), axis=-1)
+        q = jnp.where(valid & in_range, pack_key(q_off), KEY_PAD)
+        return _lookup(key, q)
+
+    idx, hit = jax.vmap(per_offset)(jnp.asarray(offsets))
+    return idx, hit  # [K, N], [K, N]
+
+
+def _downsample_one(off, key, valid, capacity):
+    """Unique parent voxels (stride-2) for one item.
+
+    Returns (parent SparseVoxels-like fields, parent_idx [N], octant [N]).
+    """
+    n = off.shape[0]
+    p_off = off >> 1
+    p_key = jnp.where(valid, pack_key(p_off), KEY_PAD)
+
+    skey = jnp.sort(p_key)
+    first = jnp.concatenate([jnp.ones((1,), bool), skey[1:] != skey[:-1]])
+    run_id = jnp.cumsum(first) - 1
+    ok = (skey < KEY_PAD) & (run_id < capacity)
+    vid = jnp.where(ok, run_id, capacity)
+    ukey = jax.ops.segment_min(skey, vid, num_segments=capacity + 1)[:capacity]
+    cnt = jax.ops.segment_sum(jnp.ones((n,), jnp.int32), vid,
+                              num_segments=capacity + 1)[:capacity]
+    uvalid = cnt > 0
+    ukey = jnp.where(uvalid, ukey, KEY_PAD)
+    uoff = jnp.where(uvalid[:, None], unpack_key(ukey), 0)
+
+    # child -> parent link
+    parent_idx, _ = _lookup(ukey, p_key)
+    octant = ((off[:, 0] & 1) << 2) | ((off[:, 1] & 1) << 1) | (off[:, 2] & 1)
+    octant = jnp.where(valid, octant, 0).astype(jnp.int32)
+    return uoff, ukey, uvalid, jnp.sum(uvalid).astype(jnp.int32), parent_idx, octant
+
+
+def _child_table_one(parent_off, parent_valid, child_key):
+    """For each parent voxel and each of 8 octants, the child voxel index."""
+    def per_offset(d):
+        q_off = (parent_off << 1) + d
+        q = jnp.where(parent_valid, pack_key(q_off), KEY_PAD)
+        return _lookup(child_key, q)
+
+    idx, hit = jax.vmap(per_offset)(jnp.asarray(K2_OFFSETS))
+    return idx, hit  # [8, Np], [8, Np]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Level:
+    """One stride level of the coordinate hierarchy.
+
+    Attributes:
+      off/key/valid/count: the voxel set ([B, N, 3], [B, N], [B, N], [B]).
+      nbr_idx/nbr_hit: [27, B, N] k=3 s=1 kernel map (None until built).
+      parent_idx: [B, N] index into the next-coarser level (level l+1).
+      octant:     [B, N] which of 8 children of that parent this voxel is.
+      child_idx/child_hit: [8, B, Np-of-coarser]… stored on the COARSER level:
+        for each of its voxels, the indices of its children in THIS level.
+    """
+
+    off: jax.Array
+    key: jax.Array
+    valid: jax.Array
+    count: jax.Array
+    nbr_idx: Optional[jax.Array] = None
+    nbr_hit: Optional[jax.Array] = None
+    parent_idx: Optional[jax.Array] = None
+    octant: Optional[jax.Array] = None
+    child_idx: Optional[jax.Array] = None
+    child_hit: Optional[jax.Array] = None
+
+
+def build_hierarchy(voxels: SparseVoxels, depth: int,
+                    capacities: Optional[Tuple[int, ...]] = None,
+                    build_k3: bool = True) -> Tuple[Level, ...]:
+    """Build ``depth+1`` stride levels (stride 1, 2, ..., 2^depth).
+
+    Args:
+      voxels: level-0 voxel set from :func:`mrcc_tpu.sparse.quantize.voxelize`.
+      depth: number of stride-2 downsamplings (MinkUNet uses 4).
+      capacities: static per-level voxel capacities for levels 1..depth;
+        defaults to full capacity at level 1 then halving (stride-2 on
+        surface-like voxel data typically shrinks 4-8x, but worst-case
+        sparse data barely shrinks at the first level).
+      build_k3: also build the 27-neighbour tables (needed by k=3 convs).
+
+    Returns a tuple of ``depth+1`` Levels, finest first.
+    """
+    b, n0 = voxels.key.shape
+    if capacities is None:
+        capacities = tuple(max(n0 >> l, 64) for l in range(depth))
+    assert len(capacities) == depth
+
+    levels = []
+    cur = Level(off=voxels.off, key=voxels.key, valid=voxels.valid,
+                count=voxels.count)
+    for l in range(depth):
+        cap = capacities[l]
+        uoff, ukey, uvalid, ucount, parent_idx, octant = jax.vmap(
+            partial(_downsample_one, capacity=cap)
+        )(cur.off, cur.key, cur.valid)
+        child_idx, child_hit = jax.vmap(
+            _child_table_one, in_axes=(0, 0, 0), out_axes=(1, 1)
+        )(uoff, uvalid, cur.key)
+        cur = dataclasses.replace(cur, parent_idx=parent_idx, octant=octant)
+        if build_k3:
+            nbr_idx, nbr_hit = jax.vmap(
+                partial(_neighbor_table_one, offsets=K3_OFFSETS),
+                in_axes=(0, 0, 0), out_axes=(1, 1),
+            )(cur.off, cur.key, cur.valid)
+            cur = dataclasses.replace(cur, nbr_idx=nbr_idx, nbr_hit=nbr_hit)
+        levels.append(cur)
+        cur = Level(off=uoff, key=ukey, valid=uvalid, count=ucount,
+                    child_idx=child_idx, child_hit=child_hit)
+
+    if build_k3:
+        nbr_idx, nbr_hit = jax.vmap(
+            partial(_neighbor_table_one, offsets=K3_OFFSETS),
+            in_axes=(0, 0, 0), out_axes=(1, 1),
+        )(cur.off, cur.key, cur.valid)
+        cur = dataclasses.replace(cur, nbr_idx=nbr_idx, nbr_hit=nbr_hit)
+    levels.append(cur)
+    return tuple(levels)
