@@ -71,13 +71,13 @@ def _neighbor_table_one(off, key, valid, offsets):
     return idx, hit  # [K, N], [K, N]
 
 
-def _downsample_one(off, key, valid, capacity):
-    """Unique parent voxels (stride-2) for one item.
+def _downsample_one(off, key, valid, capacity, stride=2):
+    """Unique parent voxels (stride-s floor division) for one item.
 
     Returns (parent SparseVoxels-like fields, parent_idx [N], octant [N]).
     """
     n = off.shape[0]
-    p_off = off >> 1
+    p_off = off // stride
     p_key = jnp.where(valid, pack_key(p_off), KEY_PAD)
 
     skey = jnp.sort(p_key)
@@ -94,20 +94,29 @@ def _downsample_one(off, key, valid, capacity):
 
     # child -> parent link
     parent_idx, _ = _lookup(ukey, p_key)
-    octant = ((off[:, 0] & 1) << 2) | ((off[:, 1] & 1) << 1) | (off[:, 2] & 1)
+    octant = (((off[:, 0] % stride) << 2) | ((off[:, 1] % stride) << 1)
+              | (off[:, 2] % stride))
     octant = jnp.where(valid, octant, 0).astype(jnp.int32)
     return uoff, ukey, uvalid, jnp.sum(uvalid).astype(jnp.int32), parent_idx, octant
 
 
-def _child_table_one(parent_off, parent_valid, child_key):
-    """For each parent voxel and each of 8 octants, the child voxel index."""
+def _child_table_one(parent_off, parent_valid, child_key, offsets=K2_OFFSETS,
+                     stride=2):
+    """Strided kernel map: for each parent voxel and kernel offset, the input
+    (child-level) voxel index at ``parent*stride + offset``.
+
+    With the default K2_OFFSETS/stride 2 this is the k=2 s=2 map; pass
+    K3_OFFSETS for ME's kernel_size=3 strided convs (offsets centred on
+    ``parent*stride``, matching ME's odd-kernel convention).
+    """
     def per_offset(d):
-        q_off = (parent_off << 1) + d
-        q = jnp.where(parent_valid, pack_key(q_off), KEY_PAD)
+        q_off = parent_off * stride + d
+        in_range = jnp.all((q_off >= 0) & (q_off < COORD_RANGE), axis=-1)
+        q = jnp.where(parent_valid & in_range, pack_key(q_off), KEY_PAD)
         return _lookup(child_key, q)
 
-    idx, hit = jax.vmap(per_offset)(jnp.asarray(K2_OFFSETS))
-    return idx, hit  # [8, Np], [8, Np]
+    idx, hit = jax.vmap(per_offset)(jnp.asarray(offsets))
+    return idx, hit  # [K, Np], [K, Np]
 
 
 @jax.tree_util.register_dataclass
@@ -187,3 +196,38 @@ def build_hierarchy(voxels: SparseVoxels, depth: int,
         cur = dataclasses.replace(cur, nbr_idx=nbr_idx, nbr_hit=nbr_hit)
     levels.append(cur)
     return tuple(levels)
+
+
+def downsample_level(level: Level, capacity: int, stride: int = 2,
+                     kernel_size: int = 2, build_k3: bool = True):
+    """Build the next-coarser level for an arbitrary (kernel_size, stride) conv.
+
+    Used by the sparse ResNet path, which mixes k=3 s=2, k=2 s=2 pooling and
+    k=3 s=3 convolutions (reference resnet.py:51-80).  Returns
+    ``(fine_level_with_parent_links, coarse_level)`` where the coarse level
+    carries the strided kernel map in ``child_idx``/``child_hit``.
+    """
+    offsets = K2_OFFSETS if kernel_size == 2 else np.array(
+        [[dx, dy, dz]
+         for dx in range(-(kernel_size // 2), kernel_size // 2 + 1)
+         for dy in range(-(kernel_size // 2), kernel_size // 2 + 1)
+         for dz in range(-(kernel_size // 2), kernel_size // 2 + 1)],
+        dtype=np.int32,
+    )
+    uoff, ukey, uvalid, ucount, parent_idx, octant = jax.vmap(
+        partial(_downsample_one, capacity=capacity, stride=stride)
+    )(level.off, level.key, level.valid)
+    child_idx, child_hit = jax.vmap(
+        partial(_child_table_one, offsets=offsets, stride=stride),
+        in_axes=(0, 0, 0), out_axes=(1, 1),
+    )(uoff, uvalid, level.key)
+    fine = dataclasses.replace(level, parent_idx=parent_idx, octant=octant)
+    coarse = Level(off=uoff, key=ukey, valid=uvalid, count=ucount,
+                   child_idx=child_idx, child_hit=child_hit)
+    if build_k3:
+        nbr_idx, nbr_hit = jax.vmap(
+            partial(_neighbor_table_one, offsets=K3_OFFSETS),
+            in_axes=(0, 0, 0), out_axes=(1, 1),
+        )(coarse.off, coarse.key, coarse.valid)
+        coarse = dataclasses.replace(coarse, nbr_idx=nbr_idx, nbr_hit=nbr_hit)
+    return fine, coarse
