@@ -1,0 +1,182 @@
+"""Solve layer: ICP refinement, clustering, keypoint->pose, vote centre."""
+
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation
+
+import jax.numpy as jnp
+
+from mrcc_tpu.data.synthetic import ee_template_points, generate_sample
+from mrcc_tpu.geometry.metrics import compute_pose_metrics
+from mrcc_tpu.solve import (
+    REFERENCE_KEY_POINTS,
+    default_template,
+    icp_refine,
+    key_point_predictions,
+    largest_cluster_mask,
+    pose_from_key_points,
+    pred_center,
+    predict_translation,
+)
+from mrcc_tpu.data.labels import quat_to_matrix_np
+
+
+def posed_ee_cloud(rng, pose, n=3000, noise=0.001):
+    pts = ee_template_points(rng, n)
+    rot = quat_to_matrix_np(pose[3:7])
+    return (pts @ rot.T + pose[:3] + rng.normal(size=(n, 3)) * noise).astype(
+        np.float32)
+
+
+def perturb_pose(rng, pose, dt=0.02, dr=0.1):
+    q = pose[3:7]
+    dq = Rotation.from_rotvec(rng.normal(size=3) * dr)
+    q_scipy = np.concatenate([q[1:], q[:1]])
+    q_new = (Rotation.from_quat(q_scipy) * dq).as_quat()
+    return np.concatenate([
+        pose[:3] + rng.normal(size=3) * dt,
+        [q_new[3]], q_new[:3],
+    ]).astype(np.float32)
+
+
+class TestICP:
+    def test_refines_perturbed_pose(self, rng):
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        gt = np.concatenate([[0.2, -0.1, 0.9], q]).astype(np.float32)
+        cloud = posed_ee_cloud(rng, gt)
+        init = perturb_pose(rng, gt, dt=0.015, dr=0.08)
+
+        m0 = compute_pose_metrics(gt, init)
+        template = default_template(1024)
+        refined = np.asarray(icp_refine(jnp.asarray(template),
+                                        jnp.asarray(cloud),
+                                        jnp.ones(len(cloud), bool),
+                                        jnp.asarray(init)))
+        m1 = compute_pose_metrics(gt, refined)
+        assert float(m1["dist_position"]) < float(m0["dist_position"])
+        assert float(m1["dist_position"]) < 0.01
+        assert float(m1["angle_diff"]) < 0.1
+
+    def test_empty_cloud_returns_init(self, rng):
+        init = np.array([0.1, 0.2, 0.3, 1, 0, 0, 0], np.float32)
+        template = default_template(256)
+        out = np.asarray(icp_refine(jnp.asarray(template),
+                                    jnp.zeros((128, 3), np.float32),
+                                    jnp.zeros(128, bool),
+                                    jnp.asarray(init)))
+        np.testing.assert_allclose(out, init, atol=1e-6)
+
+    def test_masked_padding_ignored(self, rng):
+        q = np.array([1.0, 0, 0, 0], np.float32)
+        gt = np.concatenate([[0.0, 0.0, 0.8], q]).astype(np.float32)
+        cloud = posed_ee_cloud(rng, gt, n=2000)
+        padded = np.concatenate([cloud, np.full((500, 3), 50.0, np.float32)])
+        mask = np.concatenate([np.ones(2000, bool), np.zeros(500, bool)])
+        init = perturb_pose(rng, gt, dt=0.01, dr=0.05)
+        refined = np.asarray(icp_refine(jnp.asarray(default_template(1024)),
+                                        jnp.asarray(padded), jnp.asarray(mask),
+                                        jnp.asarray(init)))
+        m = compute_pose_metrics(gt, refined)
+        assert float(m["dist_position"]) < 0.01
+
+
+class TestCluster:
+    def test_two_blobs(self, rng):
+        a = rng.normal(size=(300, 3)) * 0.01          # dense blob at origin
+        b = rng.normal(size=(80, 3)) * 0.01 + 1.0     # smaller blob at (1,1,1)
+        pts = np.concatenate([a, b]).astype(np.float32)
+        mask = np.ones(len(pts), bool)
+        got = np.asarray(largest_cluster_mask(jnp.asarray(pts),
+                                              jnp.asarray(mask)))
+        assert got[:300].all()
+        assert not got[300:].any()
+
+    def test_chain_connectivity(self, rng):
+        # a chain of points spaced 0.03 (< 0.06) must form ONE cluster
+        chain = np.stack([np.arange(50) * 0.03, np.zeros(50), np.zeros(50)], 1)
+        stray = np.array([[5.0, 5.0, 5.0]])
+        pts = np.concatenate([chain, stray]).astype(np.float32)
+        got = np.asarray(largest_cluster_mask(jnp.asarray(pts),
+                                              jnp.ones(51, bool)))
+        assert got[:50].all() and not got[50]
+
+    def test_padding_excluded(self, rng):
+        pts = np.zeros((100, 3), np.float32)
+        pts[:10] = rng.normal(size=(10, 3)) * 0.01 + 2.0
+        mask = np.zeros(100, bool)
+        mask[:10] = True
+        got = np.asarray(largest_cluster_mask(jnp.asarray(pts),
+                                              jnp.asarray(mask)))
+        assert got[:10].all() and not got[10:].any()
+
+
+class TestKeypoints:
+    def test_predictions_threshold(self, rng):
+        logits = np.full((100, 6), -5.0, np.float32)
+        for k in range(4):          # 4 confident classes
+            logits[k * 10, k] = 10.0
+        logits[80] = 0.0             # uniform row: classes 4/5 stay uncertain
+        idx, found, conf = key_point_predictions(jnp.asarray(logits),
+                                                 jnp.ones(100, bool), 0.75)
+        found = np.asarray(found)
+        assert found[:4].all() and not found[4:].any()
+        np.testing.assert_array_equal(np.asarray(idx)[:4],
+                                      [0, 10, 20, 30])
+
+    def test_pose_from_keypoints(self, rng):
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        gt = np.concatenate([[0.3, 0.1, 1.1], q])
+        rot = quat_to_matrix_np(q)
+        kp = REFERENCE_KEY_POINTS @ rot.T + gt[:3]
+        found = np.array([True] * 5 + [False])
+        kp_noisy = kp.copy()
+        kp_noisy[5] = 99.0  # unfound slot contains garbage
+        pose, ok = pose_from_key_points(jnp.asarray(kp_noisy, jnp.float32),
+                                        jnp.asarray(found))
+        assert bool(ok)
+        m = compute_pose_metrics(jnp.asarray(gt), pose)
+        assert float(m["dist_position"]) < 1e-4
+        assert float(m["angle_diff"]) < 1e-3
+
+    def test_too_few_keypoints(self, rng):
+        found = np.array([True, True, True, False, False, False])
+        _, ok = pose_from_key_points(
+            jnp.asarray(REFERENCE_KEY_POINTS), jnp.asarray(found))
+        assert not bool(ok)
+
+
+class TestVoteAndTranslation:
+    def test_pred_center(self, rng):
+        coords = rng.normal(size=(200, 3)).astype(np.float32)
+        logits = np.zeros((200, 2), np.float32)
+        target = coords[:8].mean(0)
+        logits[:8, 1] = 10.0
+        got = np.asarray(pred_center(jnp.asarray(logits), jnp.asarray(coords),
+                                     jnp.ones(200, bool)))
+        # without an orientation the offset is not applied (output.py:50)
+        np.testing.assert_allclose(got, target, atol=1e-5)
+
+    def test_pred_center_rotated_offset(self, rng):
+        coords = np.zeros((16, 3), np.float32)
+        logits = np.zeros((16, 2), np.float32)
+        logits[:8, 1] = 5.0
+        q = np.array([np.cos(np.pi / 4), 0, 0, np.sin(np.pi / 4)], np.float32)
+        got = np.asarray(pred_center(jnp.asarray(logits), jnp.asarray(coords),
+                                     jnp.ones(16, bool), q=jnp.asarray(q)))
+        # 90° about z maps [-r,0,0] -> [0,-r,0]
+        np.testing.assert_allclose(got, [0, -0.03, 0], atol=1e-6)
+
+    def test_translation_magic(self, rng):
+        # identity orientation: position = [magic_x + cx, cy, min_z_world]
+        pts = rng.uniform(-0.1, 0.1, size=(500, 3)).astype(np.float32)
+        pts += np.array([0.4, 0.2, 0.9], np.float32)
+        pos, _ = predict_translation(jnp.asarray(pts),
+                                     jnp.ones(500, bool),
+                                     jnp.asarray([1.0, 0, 0, 0], jnp.float32))
+        pos = np.asarray(pos)
+        c = (pts.max(0) + pts.min(0)) / 2
+        np.testing.assert_allclose(pos[0], c[0] - 0.015, atol=1e-5)
+        np.testing.assert_allclose(pos[1], c[1], atol=1e-5)
+        np.testing.assert_allclose(pos[2], pts[:, 2].min(), atol=1e-5)
