@@ -1,0 +1,380 @@
+"""InferenceEngine — the product API (predict / calibrate / check_sanity).
+
+Parity target: /root/reference/app/inference_engine.py:54-559, redesigned
+TPU-first: the whole hot path — color normalisation, voxelization,
+segmentation U-Net, largest-cluster filtering, EE crop, rotation network,
+magic-point translation, keypoint network, Kabsch solve and both ICP
+refinements — is ONE fused jit program over fixed-shape buffers
+(``_predict_impl``).  The reference runs these as seven separate
+GPU/CPU/sklearn/Open3D stages at ~1.25 FPS (app/main.py:456); here a whole
+batch of clouds flows through a single XLA executable.
+
+Host-side remains: DTO packing, the geometric sanity check (tiny numpy), and
+calibration averaging across frames/positions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import typing
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.labels import get_6_key_points
+from ..geometry import base2cam_pose, transform_pose2pose
+from ..geometry import calibration as calib_util
+from ..geometry.metrics import compute_kp_error
+from ..geometry.preprocess import center_at_origin, normalize_colors
+from ..models import RobotNetEncode, RobotNetSegmentation
+from ..solve import (
+    default_template,
+    icp_refine,
+    key_point_predictions,
+    largest_cluster_mask,
+    pose_from_key_points,
+    predict_translation,
+)
+from ..sparse import build_hierarchy, slice_to_points, voxelize
+from .dto import CalibrationResultDTO, PointCloudDTO, ResultDTO, TestResultDTO
+
+
+@dataclasses.dataclass
+class InferenceConfig:
+    """Explicit replacement for the INFERENCE config section
+    (config/default.yaml:136-192)."""
+
+    # capacities (static shapes; choose by scene size)
+    point_capacity: int = 32768
+    seg_voxel_capacity: int = 16384
+    ee_point_capacity: int = 8192
+    ee_voxel_capacity: int = 4096
+    kp_voxel_capacity: int = 8192
+
+    # stage configs (defaults = reference defaults)
+    seg_backbone: str = "minkunet"        # robotnet_segmentation on 18D
+    seg_scale: float = 200.0
+    seg_center_at_origin: bool = True
+    num_classes: int = 3
+
+    rot_backbone: str = "minkunet"
+    rot_encode_only: bool = True
+    rot_scale: float = 200.0
+    rot_center_at_origin: bool = True
+
+    kp_backbone: str = "minkunet"         # sparse path; 'pointnet2' = dense
+    kp_scale: float = 800.0
+    kp_center_at_origin: bool = True
+    kp_conf_threshold: float = 0.75
+    num_of_keypoints: int = 6
+    kp_error_margin: float = 0.05
+
+    ee_point_counts_threshold: int = 512
+    icp_enabled: bool = True
+    icp_iterations: int = 30
+    icp_template_points: int = 2048
+    cluster_dist: float = 0.06
+    sanity_min_num_of_ee_points: int = 2048
+    camera_link_transformation_pose: typing.Optional[np.ndarray] = None
+    calibration_confident_count: int = 2
+
+
+class InferenceEngine:
+    """Config-driven engine with the same public surface as the reference:
+    ``predict(PointCloudDTO) -> ResultDTO`` and
+    ``calibrate({position: [ResultDTO]}) -> CalibrationResultDTO``."""
+
+    def __init__(self, config: InferenceConfig = None, params=None, seed=0,
+                 calibration_only: bool = False):
+        self.cfg = config or InferenceConfig()
+        cfg = self.cfg
+        self.template = jnp.asarray(default_template(cfg.icp_template_points))
+        self.pred_enabled = not calibration_only
+
+        if calibration_only:
+            return
+
+        self._seg_model = RobotNetSegmentation(
+            backbone=cfg.seg_backbone, in_channels=3,
+            num_classes=cfg.num_classes)
+        self._rot_model = RobotNetEncode(
+            backbone=cfg.rot_backbone, in_channels=3, out_channels=7)
+        self._kp_model = RobotNetSegmentation(
+            backbone=cfg.kp_backbone, in_channels=3,
+            num_classes=cfg.num_of_keypoints)
+
+        if params is None:
+            params = self.init_params(jax.random.PRNGKey(seed))
+        self.params = params
+        self._predict_jit = jax.jit(self._predict_impl)
+
+    # ------------------------------------------------------------- params
+
+    def _dummy_inputs(self, n=256):
+        pts = jnp.zeros((1, n, 3), jnp.float32)
+        rgb = jnp.zeros((1, n, 3), jnp.float32)
+        mask = jnp.ones((1, n), bool).at[0, n // 2:].set(False)
+        return pts, rgb, mask
+
+    def init_params(self, key):
+        """Randomly-initialised parameter set (use checkpoint loading from
+        mrcc_tpu.train.checkpoint for trained weights)."""
+        cfg = self.cfg
+        k1, k2, k3 = jax.random.split(key, 3)
+        pts, rgb, mask = self._dummy_inputs()
+        svox, _, _ = voxelize(pts, rgb, mask, 1 / cfg.seg_scale, 256)
+        slevels = build_hierarchy(svox, 4, capacities=(128, 64, 64, 64))
+        return {
+            "segmentation": self._seg_model.init(k1, svox.feats, slevels),
+            "rotation": self._rot_model.init(k2, svox.feats, slevels),
+            "key_points": self._kp_model.init(k3, svox.feats, slevels),
+        }
+
+    # ------------------------------------------------------------ the jit
+
+    def _hierarchy_caps(self, cap):
+        return (cap, max(cap // 2, 64), max(cap // 4, 64), max(cap // 8, 64))
+
+    def _predict_impl(self, points, rgb, mask):
+        """points/rgb [B, P, 3], mask [B, P] -> dict of device outputs."""
+        cfg = self.cfg
+        b, p = mask.shape
+        rgb = normalize_colors(rgb, mask=mask)
+
+        # ---------------- segmentation (predict_segmentation :395)
+        if cfg.seg_center_at_origin:
+            seg_pts, _ = center_at_origin(points, mask=mask)
+        else:
+            seg_pts = points
+        svox, spv, _ = voxelize(seg_pts, rgb, mask, 1.0 / cfg.seg_scale,
+                                cfg.seg_voxel_capacity)
+        slevels = build_hierarchy(
+            svox, 4, capacities=self._hierarchy_caps(cfg.seg_voxel_capacity))
+        slogits = self._seg_model.apply(self.params["segmentation"],
+                                        svox.feats, slevels)
+        pt_logits = slice_to_points(slogits, spv, fill_value=-1e9)
+        seg = jnp.argmax(pt_logits, axis=-1).astype(jnp.int32)
+        seg = jnp.where(mask, seg, 0)
+
+        # EE demote + largest-cluster re-promotion (:422-434)
+        ee_raw = (seg == 2) & mask
+        cluster = jax.vmap(
+            partial(largest_cluster_mask, dist=cfg.cluster_dist,
+                    capacity=4096)
+        )(points, ee_raw)
+        seg = jnp.where(ee_raw, 1, seg)
+        seg = jnp.where(ee_raw & cluster, 2, seg)
+        ee_mask = (seg == 2) & mask
+        ee_count = ee_mask.sum(axis=-1)
+
+        # ---------------- EE crop into fixed capacity (argsort: EE first)
+        e = cfg.ee_point_capacity
+        order = jnp.argsort(~ee_mask, axis=-1, stable=True)[:, :e]
+        ee_pts = jnp.take_along_axis(points, order[..., None], axis=1)
+        ee_rgb = jnp.take_along_axis(rgb, order[..., None], axis=1)
+        ee_valid = jnp.take_along_axis(ee_mask, order, axis=1)
+
+        # ---------------- rotation (predict_rotation :437)
+        if cfg.rot_center_at_origin:
+            rot_pts, _ = center_at_origin(ee_pts, mask=ee_valid)
+        else:
+            rot_pts = ee_pts
+        rvox, _, _ = voxelize(rot_pts, ee_rgb, ee_valid, 1.0 / cfg.rot_scale,
+                              cfg.ee_voxel_capacity)
+        rlevels = build_hierarchy(
+            rvox, 4, capacities=self._hierarchy_caps(cfg.ee_voxel_capacity))
+        rot_out = self._rot_model.apply(self.params["rotation"], rvox.feats,
+                                        rlevels, train=False)
+        q = rot_out[:, 3:7]
+
+        # ---------------- translation (predict_translation :459)
+        pos, _ = jax.vmap(predict_translation)(ee_pts, ee_valid, q)
+        ee_pose = jnp.concatenate([pos, q], axis=-1)
+
+        # ---------------- keypoints (predict_key_points :491, sparse path)
+        if cfg.kp_center_at_origin:
+            kp_pts, _ = center_at_origin(ee_pts, mask=ee_valid)
+        else:
+            kp_pts = ee_pts
+        kvox, kpv, _ = voxelize(kp_pts, ee_rgb, ee_valid, 1.0 / cfg.kp_scale,
+                                cfg.kp_voxel_capacity)
+        klevels = build_hierarchy(
+            kvox, 4, capacities=self._hierarchy_caps(cfg.kp_voxel_capacity))
+        klogits = self._kp_model.apply(self.params["key_points"], kvox.feats,
+                                       klevels)
+        kp_pt_logits = slice_to_points(klogits, kpv, fill_value=-1e9)
+        kp_idx, kp_found, kp_conf = jax.vmap(
+            partial(key_point_predictions,
+                    conf_threshold=cfg.kp_conf_threshold)
+        )(kp_pt_logits, ee_valid)
+        kp_coords = jnp.take_along_axis(ee_pts, kp_idx[..., None], axis=1)
+        kp_pose, kp_ok = jax.vmap(pose_from_key_points)(kp_coords, kp_found)
+
+        # ---------------- ICP refinement (:358-361)
+        if cfg.icp_enabled:
+            refine = jax.vmap(
+                lambda pts, m, pose: icp_refine(
+                    self.template, pts, m, pose,
+                    iterations=cfg.icp_iterations))
+            ee_pose = refine(ee_pts, ee_valid, ee_pose)
+            kp_pose = refine(ee_pts, ee_valid, kp_pose)
+
+        return {
+            "segmentation": seg,
+            "ee_count": ee_count,
+            "ee_pose": ee_pose,
+            "kp_pose": kp_pose,
+            "kp_ok": kp_ok,
+            "kp_coords": kp_coords,
+            "kp_found": kp_found,
+            "kp_conf": kp_conf,
+        }
+
+    # ------------------------------------------------------------- public
+
+    def predict_batch_arrays(self, points, rgb, mask):
+        """Fused batched prediction on padded arrays (throughput path)."""
+        return self._predict_jit(points, rgb, mask)
+
+    def _pad(self, points, rgb):
+        p = self.cfg.point_capacity
+        n = len(points)
+        if n > p:
+            sel = np.random.default_rng(0).choice(n, p, replace=False)
+            points, rgb = points[sel], rgb[sel]
+            n = p
+        pts = np.zeros((1, p, 3), np.float32)
+        cols = np.zeros((1, p, 3), np.float32)
+        mask = np.zeros((1, p), bool)
+        pts[0, :n] = points
+        cols[0, :n] = rgb
+        mask[0, :n] = True
+        return pts, cols, mask, n
+
+    def predict(self, data: PointCloudDTO) -> ResultDTO:
+        """Single-cloud prediction; parity with predict (:281-382)."""
+        if not self.pred_enabled:
+            return ResultDTO(segmentation=np.zeros(len(data.points), np.int32))
+
+        pts, cols, mask, n = self._pad(np.asarray(data.points, np.float32),
+                                       np.asarray(data.rgb, np.float32))
+        out = jax.device_get(self._predict_jit(pts, cols, mask))
+
+        seg = out["segmentation"][0][:n]
+        result = ResultDTO(segmentation=seg)
+        if int(out["ee_count"][0]) < self.cfg.ee_point_counts_threshold:
+            return result
+
+        result.ee_pose = out["ee_pose"][0]
+        found = out["kp_found"][0]
+        result.key_points = [
+            (int(k), out["kp_coords"][0][k])
+            for k in range(self.cfg.num_of_keypoints) if found[k]
+        ]
+        result.key_points_pose = out["kp_pose"][0] if bool(out["kp_ok"][0]) else None
+
+        result.is_confident = self.check_sanity(data, result)
+
+        if data.ee2base_pose is not None:
+            if result.ee_pose is not None:
+                result.base_pose = np.asarray(
+                    base2cam_pose(result.ee_pose, data.ee2base_pose))
+            if result.key_points_pose is not None:
+                result.key_points_base_pose = np.asarray(
+                    base2cam_pose(result.key_points_pose, data.ee2base_pose))
+        return result
+
+    # ---------------------------------------------------------- sanity
+
+    def check_sanity(self, data: PointCloudDTO, result: ResultDTO,
+                     kp_error_margin=None) -> bool:
+        """Parity with check_sanity (:246-279)."""
+        cfg = self.cfg
+        kp_error_margin = kp_error_margin or cfg.kp_error_margin
+        seg = result.segmentation
+        num_ee = int((seg == 2).sum())
+        if num_ee < cfg.sanity_min_num_of_ee_points:
+            return False
+        if result.ee_pose is None:
+            return False
+
+        ee_raw_points = np.asarray(data.points)[: len(seg)][seg == 2]
+        kp_gt_coords, kp_gt_classes = get_6_key_points(
+            ee_raw_points, np.asarray(result.ee_pose),
+            euclidean_threshold=0.04)
+        if len(kp_gt_classes) == 0 or (np.asarray(kp_gt_classes[:4]) < 0).any():
+            return False
+
+        if len(result.key_points) > 3:
+            kp_classes = np.array([k for k, _ in result.key_points])
+            kp_coords = np.array([c for _, c in result.key_points])
+            err = float(compute_kp_error(kp_gt_coords, kp_coords, kp_classes))
+            if err > kp_error_margin:
+                return False
+        return True
+
+    # ------------------------------------------------------- calibration
+
+    def calibrate(self, data: typing.Dict[str, typing.List[ResultDTO]]
+                  ) -> CalibrationResultDTO:
+        """Parity with calibrate (:152-194): per-position averaging, then
+        cross-position averaging, then mean of (base, kp-base) poses."""
+        individual = [self._calibrate_individual(v) for v in data.values()]
+        individual = [v for v in individual if v is not None]
+        if len(data) == 1 and individual:
+            raw = individual[0]
+        else:
+            raw = self._calibrate_individual(individual)
+            if raw is None:
+                return CalibrationResultDTO(pose_camera_link=None)
+
+        stack = [p for p in (raw.base_pose, raw.key_points_base_pose)
+                 if p is not None]
+        if not stack:
+            return CalibrationResultDTO(pose_camera_link=None)
+        avg = np.asarray(calib_util.average_poses(np.stack(stack)))
+        calibration = CalibrationResultDTO(pose_camera_link=avg)
+        calibration.load_from_test_result(raw)
+        return calibration
+
+    def _calibrate_individual(self, data, weights=None, confident_count=None
+                              ) -> typing.Optional[TestResultDTO]:
+        """Parity with _calibrate_individual (:196-244)."""
+        confident_count = (confident_count
+                           or self.cfg.calibration_confident_count)
+        confident = [d for d in data if d is not None and d.is_confident]
+        if len(confident) < confident_count:
+            return None
+        result = TestResultDTO(segmentation=None, is_confident=True)
+
+        def avg(field):
+            poses = [getattr(d, field) for d in confident
+                     if getattr(d, field, None) is not None]
+            if not poses:
+                return None
+            poses = calib_util.remove_pose_outliers(
+                np.asarray(poses, np.float32))
+            return np.asarray(calib_util.average_poses(poses, weights=weights))
+
+        result.ee_pose = avg("ee_pose")
+        result.base_pose = avg("base_pose")
+        result.key_points_pose = avg("key_points_pose")
+        result.key_points_base_pose = avg("key_points_base_pose")
+
+        clt = self.cfg.camera_link_transformation_pose
+        if clt is not None:
+            def to_cl(field):
+                poses = [np.asarray(transform_pose2pose(getattr(d, field), clt))
+                         for d in confident
+                         if getattr(d, field, None) is not None]
+                if not poses:
+                    return None
+                return np.asarray(calib_util.average_poses(
+                    np.asarray(poses, np.float32), weights=weights))
+
+            result.base_pose_camera_link = to_cl("base_pose")
+            result.key_points_base_pose_camera_link = to_cl(
+                "key_points_base_pose")
+        return result

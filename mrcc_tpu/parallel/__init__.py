@@ -1,0 +1,11 @@
+"""Device-mesh parallelism utilities (data-parallel over ICI)."""
+
+from . import mesh  # noqa: F401
+from .mesh import (  # noqa: F401
+    DATA_AXIS,
+    batch_sharding,
+    make_mesh,
+    pad_batch_to,
+    replicate,
+    shard_batch,
+)
