@@ -108,7 +108,15 @@ class InferenceEngine:
         if params is None:
             params = self.init_params(jax.random.PRNGKey(seed))
         self.params = params
-        self._predict_jit = jax.jit(self._predict_impl)
+        # Stage-wise jit: four moderate programs instead of one huge one —
+        # compiles are independent (and cache-friendly); intermediate arrays
+        # stay on device between stages, so no host round-trips.
+        # params are ARGUMENTS (not closures): closed-over arrays embed as
+        # HLO constants, which breaks remote compilation on large models.
+        self._seg_jit = jax.jit(self._seg_stage)
+        self._pose_jit = jax.jit(self._pose_stage)
+        self._kp_jit = jax.jit(self._kp_stage)
+        self._icp_jit = jax.jit(self._icp_stage)
 
     # ------------------------------------------------------------- params
 
@@ -120,30 +128,37 @@ class InferenceEngine:
 
     def init_params(self, key):
         """Randomly-initialised parameter set (use checkpoint loading from
-        mrcc_tpu.train.checkpoint for trained weights)."""
+        mrcc_tpu.train.checkpoint for trained weights).
+
+        Entirely under jit: eager init is minutes-slow on remote-compiled
+        backends (see mrcc_tpu.utils.jit_init)."""
         cfg = self.cfg
-        k1, k2, k3 = jax.random.split(key, 3)
         pts, rgb, mask = self._dummy_inputs()
-        svox, _, _ = voxelize(pts, rgb, mask, 1 / cfg.seg_scale, 256)
-        slevels = build_hierarchy(svox, 4, capacities=(128, 64, 64, 64))
-        return {
-            "segmentation": self._seg_model.init(k1, svox.feats, slevels),
-            "rotation": self._rot_model.init(k2, svox.feats, slevels),
-            "key_points": self._kp_model.init(k3, svox.feats, slevels),
-        }
+
+        @jax.jit
+        def init_all(key, pts, rgb, mask):
+            k1, k2, k3 = jax.random.split(key, 3)
+            svox, _, _ = voxelize(pts, rgb, mask, 1 / cfg.seg_scale, 256)
+            slevels = build_hierarchy(svox, 4, capacities=(128, 64, 64, 64))
+            return {
+                "segmentation": self._seg_model.init(k1, svox.feats, slevels),
+                "rotation": self._rot_model.init(k2, svox.feats, slevels),
+                "key_points": self._kp_model.init(k3, svox.feats, slevels),
+            }
+
+        return init_all(key, pts, rgb, mask)
 
     # ------------------------------------------------------------ the jit
 
     def _hierarchy_caps(self, cap):
         return (cap, max(cap // 2, 64), max(cap // 4, 64), max(cap // 8, 64))
 
-    def _predict_impl(self, points, rgb, mask):
-        """points/rgb [B, P, 3], mask [B, P] -> dict of device outputs."""
-        cfg = self.cfg
-        b, p = mask.shape
-        rgb = normalize_colors(rgb, mask=mask)
+    def _seg_stage(self, params, points, rgb, mask):
+        """Segmentation + cluster filter + fixed-capacity EE crop.
 
-        # ---------------- segmentation (predict_segmentation :395)
+        Parity: predict_segmentation (:395-435) + the EE gather."""
+        cfg = self.cfg
+        rgb = normalize_colors(rgb, mask=mask)
         if cfg.seg_center_at_origin:
             seg_pts, _ = center_at_origin(points, mask=mask)
         else:
@@ -152,8 +167,7 @@ class InferenceEngine:
                                 cfg.seg_voxel_capacity)
         slevels = build_hierarchy(
             svox, 4, capacities=self._hierarchy_caps(cfg.seg_voxel_capacity))
-        slogits = self._seg_model.apply(self.params["segmentation"],
-                                        svox.feats, slevels)
+        slogits = self._seg_model.apply(params, svox.feats, slevels)
         pt_logits = slice_to_points(slogits, spv, fill_value=-1e9)
         seg = jnp.argmax(pt_logits, axis=-1).astype(jnp.int32)
         seg = jnp.where(mask, seg, 0)
@@ -169,14 +183,18 @@ class InferenceEngine:
         ee_mask = (seg == 2) & mask
         ee_count = ee_mask.sum(axis=-1)
 
-        # ---------------- EE crop into fixed capacity (argsort: EE first)
+        # EE crop into fixed capacity (argsort: EE rows first, stable)
         e = cfg.ee_point_capacity
         order = jnp.argsort(~ee_mask, axis=-1, stable=True)[:, :e]
         ee_pts = jnp.take_along_axis(points, order[..., None], axis=1)
         ee_rgb = jnp.take_along_axis(rgb, order[..., None], axis=1)
         ee_valid = jnp.take_along_axis(ee_mask, order, axis=1)
+        return seg, ee_count, ee_pts, ee_rgb, ee_valid
 
-        # ---------------- rotation (predict_rotation :437)
+    def _pose_stage(self, params, ee_pts, ee_rgb, ee_valid):
+        """Rotation net + magic translation (predict_rotation :437 +
+        predict_translation :459)."""
+        cfg = self.cfg
         if cfg.rot_center_at_origin:
             rot_pts, _ = center_at_origin(ee_pts, mask=ee_valid)
         else:
@@ -185,15 +203,15 @@ class InferenceEngine:
                               cfg.ee_voxel_capacity)
         rlevels = build_hierarchy(
             rvox, 4, capacities=self._hierarchy_caps(cfg.ee_voxel_capacity))
-        rot_out = self._rot_model.apply(self.params["rotation"], rvox.feats,
-                                        rlevels, train=False)
+        rot_out = self._rot_model.apply(params, rvox.feats, rlevels,
+                                        train=False)
         q = rot_out[:, 3:7]
-
-        # ---------------- translation (predict_translation :459)
         pos, _ = jax.vmap(predict_translation)(ee_pts, ee_valid, q)
-        ee_pose = jnp.concatenate([pos, q], axis=-1)
+        return jnp.concatenate([pos, q], axis=-1)
 
-        # ---------------- keypoints (predict_key_points :491, sparse path)
+    def _kp_stage(self, params, ee_pts, ee_rgb, ee_valid):
+        """Keypoint net + Kabsch solve (predict_key_points :491, sparse)."""
+        cfg = self.cfg
         if cfg.kp_center_at_origin:
             kp_pts, _ = center_at_origin(ee_pts, mask=ee_valid)
         else:
@@ -202,8 +220,7 @@ class InferenceEngine:
                                 cfg.kp_voxel_capacity)
         klevels = build_hierarchy(
             kvox, 4, capacities=self._hierarchy_caps(cfg.kp_voxel_capacity))
-        klogits = self._kp_model.apply(self.params["key_points"], kvox.feats,
-                                       klevels)
+        klogits = self._kp_model.apply(params, kvox.feats, klevels)
         kp_pt_logits = slice_to_points(klogits, kpv, fill_value=-1e9)
         kp_idx, kp_found, kp_conf = jax.vmap(
             partial(key_point_predictions,
@@ -211,16 +228,32 @@ class InferenceEngine:
         )(kp_pt_logits, ee_valid)
         kp_coords = jnp.take_along_axis(ee_pts, kp_idx[..., None], axis=1)
         kp_pose, kp_ok = jax.vmap(pose_from_key_points)(kp_coords, kp_found)
+        return kp_pose, kp_ok, kp_coords, kp_found, kp_conf
 
-        # ---------------- ICP refinement (:358-361)
-        if cfg.icp_enabled:
-            refine = jax.vmap(
-                lambda pts, m, pose: icp_refine(
-                    self.template, pts, m, pose,
-                    iterations=cfg.icp_iterations))
-            ee_pose = refine(ee_pts, ee_valid, ee_pose)
-            kp_pose = refine(ee_pts, ee_valid, kp_pose)
+    def _icp_stage(self, template, ee_pts, ee_valid, ee_pose, kp_pose):
+        """Both ICP refinements (:358-361)."""
+        refine = jax.vmap(
+            lambda pts, m, pose: icp_refine(
+                template, pts, m, pose,
+                iterations=self.cfg.icp_iterations))
+        return (refine(ee_pts, ee_valid, ee_pose),
+                refine(ee_pts, ee_valid, kp_pose))
 
+    # ------------------------------------------------------------- public
+
+    def predict_batch_arrays(self, points, rgb, mask):
+        """Batched prediction on padded arrays (throughput path).
+
+        Four chained jit stages; intermediates never leave the device."""
+        seg, ee_count, ee_pts, ee_rgb, ee_valid = self._seg_jit(
+            self.params["segmentation"], points, rgb, mask)
+        ee_pose = self._pose_jit(self.params["rotation"], ee_pts, ee_rgb,
+                                 ee_valid)
+        kp_pose, kp_ok, kp_coords, kp_found, kp_conf = self._kp_jit(
+            self.params["key_points"], ee_pts, ee_rgb, ee_valid)
+        if self.cfg.icp_enabled:
+            ee_pose, kp_pose = self._icp_jit(self.template, ee_pts, ee_valid,
+                                             ee_pose, kp_pose)
         return {
             "segmentation": seg,
             "ee_count": ee_count,
@@ -231,12 +264,6 @@ class InferenceEngine:
             "kp_found": kp_found,
             "kp_conf": kp_conf,
         }
-
-    # ------------------------------------------------------------- public
-
-    def predict_batch_arrays(self, points, rgb, mask):
-        """Fused batched prediction on padded arrays (throughput path)."""
-        return self._predict_jit(points, rgb, mask)
 
     def _pad(self, points, rgb):
         p = self.cfg.point_capacity
@@ -260,7 +287,7 @@ class InferenceEngine:
 
         pts, cols, mask, n = self._pad(np.asarray(data.points, np.float32),
                                        np.asarray(data.rgb, np.float32))
-        out = jax.device_get(self._predict_jit(pts, cols, mask))
+        out = jax.device_get(self.predict_batch_arrays(pts, cols, mask))
 
         seg = out["segmentation"][0][:n]
         result = ResultDTO(segmentation=seg)

@@ -229,13 +229,18 @@ class Trainer:
     def _init_state(self, batch):
         if batch is None:
             batch = self.dataset.collate([self.dataset[0]])
-        vox, _, _ = voxelize(
-            jnp.asarray(batch["points"][:1]), jnp.asarray(batch["feats"][:1]),
-            jnp.asarray(batch["mask"][:1]),
-            self.dataset.cfg.quantization_size, 512)
-        levels = build_hierarchy(vox, 4, capacities=(256, 128, 64, 64))
-        variables = self.model.init(jax.random.PRNGKey(self.cfg.seed),
-                                    vox.feats, levels)
+        qsize = self.dataset.cfg.quantization_size
+
+        @jax.jit
+        def init_fn(key, points, feats, mask):
+            vox, _, _ = voxelize(points, feats, mask, qsize, 512)
+            levels = build_hierarchy(vox, 4, capacities=(256, 128, 64, 64))
+            return self.model.init(key, vox.feats, levels)
+
+        variables = init_fn(jax.random.PRNGKey(self.cfg.seed),
+                            jnp.asarray(batch["points"][:1]),
+                            jnp.asarray(batch["feats"][:1]),
+                            jnp.asarray(batch["mask"][:1]))
         opt_state = self.optimizer.init(variables["params"])
         state = TrainState(params=variables["params"],
                            batch_stats=variables.get("batch_stats", {}),
