@@ -71,6 +71,7 @@ class InferenceConfig:
     num_of_keypoints: int = 6
     kp_error_margin: float = 0.05
 
+    compute_dtype: str = "bfloat16"  # conv-path compute (f32 accumulation)
     ee_point_counts_threshold: int = 512
     icp_enabled: bool = True
     icp_iterations: int = 30
@@ -167,7 +168,9 @@ class InferenceEngine:
                                 cfg.seg_voxel_capacity)
         slevels = build_hierarchy(
             svox, 4, capacities=self._hierarchy_caps(cfg.seg_voxel_capacity))
-        slogits = self._seg_model.apply(params, svox.feats, slevels)
+        sfeats = svox.feats.astype(jnp.dtype(cfg.compute_dtype))
+        slogits = self._seg_model.apply(params, sfeats, slevels)
+        slogits = slogits.astype(jnp.float32)
         pt_logits = slice_to_points(slogits, spv, fill_value=-1e9)
         seg = jnp.argmax(pt_logits, axis=-1).astype(jnp.int32)
         seg = jnp.where(mask, seg, 0)
@@ -203,8 +206,9 @@ class InferenceEngine:
                               cfg.ee_voxel_capacity)
         rlevels = build_hierarchy(
             rvox, 4, capacities=self._hierarchy_caps(cfg.ee_voxel_capacity))
-        rot_out = self._rot_model.apply(params, rvox.feats, rlevels,
-                                        train=False)
+        rfeats = rvox.feats.astype(jnp.dtype(cfg.compute_dtype))
+        rot_out = self._rot_model.apply(params, rfeats, rlevels,
+                                        train=False).astype(jnp.float32)
         q = rot_out[:, 3:7]
         pos, _ = jax.vmap(predict_translation)(ee_pts, ee_valid, q)
         return jnp.concatenate([pos, q], axis=-1)
@@ -220,7 +224,9 @@ class InferenceEngine:
                                 cfg.kp_voxel_capacity)
         klevels = build_hierarchy(
             kvox, 4, capacities=self._hierarchy_caps(cfg.kp_voxel_capacity))
-        klogits = self._kp_model.apply(params, kvox.feats, klevels)
+        kfeats = kvox.feats.astype(jnp.dtype(cfg.compute_dtype))
+        klogits = self._kp_model.apply(params, kfeats, klevels)
+        klogits = klogits.astype(jnp.float32)
         kp_pt_logits = slice_to_points(klogits, kpv, fill_value=-1e9)
         kp_idx, kp_found, kp_conf = jax.vmap(
             partial(key_point_predictions,

@@ -35,29 +35,34 @@ def conv_kernel_map(feats, weights, nbr_idx, nbr_hit, out_valid, bias=None):
     """
     cout = weights.shape[-1]
     b, n_out = nbr_idx.shape[1], nbr_idx.shape[2]
-    init = jnp.zeros((b, n_out, cout), dtype=feats.dtype)
+    # compute in the feature dtype (bf16 halves gather bandwidth on TPU),
+    # accumulate in f32 on the MXU, cast back at the end
+    weights = weights.astype(feats.dtype)
+    init = jnp.zeros((b, n_out, cout), dtype=jnp.float32)
 
     def step(acc, inputs):
         w, idx, hit = inputs
         g = _gather_rows(feats, idx)
-        g = jnp.where(hit[..., None], g, 0.0)
+        g = jnp.where(hit[..., None], g, 0)
         return acc + jnp.einsum(
-            "bnc,cd->bnd", g, w, preferred_element_type=feats.dtype
+            "bnc,cd->bnd", g, w, preferred_element_type=jnp.float32
         ), None
 
     out, _ = jax.lax.scan(step, init, (weights, nbr_idx, nbr_hit))
+    out = out.astype(feats.dtype)
     if bias is not None:
-        out = out + bias
-    return jnp.where(out_valid[..., None], out, 0.0)
+        out = out + bias.astype(feats.dtype)
+    return jnp.where(out_valid[..., None], out, 0)
 
 
 def conv1x1(feats, weights, valid, bias=None):
     """Pointwise conv (ME kernel_size=1): a single GEMM."""
-    w = weights[0] if weights.ndim == 3 else weights
-    out = jnp.einsum("bnc,cd->bnd", feats, w, preferred_element_type=feats.dtype)
+    w = (weights[0] if weights.ndim == 3 else weights).astype(feats.dtype)
+    out = jnp.einsum("bnc,cd->bnd", feats, w,
+                     preferred_element_type=jnp.float32).astype(feats.dtype)
     if bias is not None:
-        out = out + bias
-    return jnp.where(valid[..., None], out, 0.0)
+        out = out + bias.astype(feats.dtype)
+    return jnp.where(valid[..., None], out, 0)
 
 
 def conv_k3(feats, weights, level, bias=None):
@@ -83,22 +88,24 @@ def conv_transpose_up(feats, weights, coarse_level, fine_level, bias=None):
     ``out[c] = feats[parent(c)] @ W[octant(c)]``.
     """
     parent_feats = _gather_rows(feats, fine_level.parent_idx)  # [B, Nf, Cin]
+    weights = weights.astype(feats.dtype)
     cout = weights.shape[-1]
     b, nf = fine_level.parent_idx.shape
-    out = jnp.zeros((b, nf, cout), dtype=feats.dtype)
+    out = jnp.zeros((b, nf, cout), dtype=jnp.float32)
 
     def step(acc, inputs):
         w, k = inputs
         sel = (fine_level.octant == k)[..., None]
         contrib = jnp.einsum(
-            "bnc,cd->bnd", parent_feats, w, preferred_element_type=feats.dtype
+            "bnc,cd->bnd", parent_feats, w, preferred_element_type=jnp.float32
         )
-        return acc + jnp.where(sel, contrib, 0.0), None
+        return acc + jnp.where(sel, contrib, 0), None
 
     out, _ = jax.lax.scan(step, out, (weights, jnp.arange(8)))
+    out = out.astype(feats.dtype)
     if bias is not None:
-        out = out + bias
-    return jnp.where(fine_level.valid[..., None], out, 0.0)
+        out = out + bias.astype(feats.dtype)
+    return jnp.where(fine_level.valid[..., None], out, 0)
 
 
 def max_pool_down(feats, fine_level, coarse_level):

@@ -60,14 +60,25 @@ def _lookup(sorted_keys, queries):
 
 
 def _neighbor_table_one(off, key, valid, offsets):
-    """27 (or 8) neighbour indices for one item. off [N,3], key [N] sorted."""
-    def per_offset(d):
-        q_off = off + d
-        in_range = jnp.all((q_off >= 0) & (q_off < COORD_RANGE), axis=-1)
-        q = jnp.where(valid & in_range, pack_key(q_off), KEY_PAD)
-        return _lookup(key, q)
+    """27 (or 8) neighbour indices for one item. off [N,3], key [N] sorted.
 
-    idx, hit = jax.vmap(per_offset)(jnp.asarray(offsets))
+    Delta trick: within the coordinate window, ``pack(off + d)`` equals
+    ``key + pack_delta(d)`` exactly (each field shifts by a constant without
+    carries), so all K·N queries are computed directly from the sorted keys
+    and resolved with ONE flattened searchsorted — no per-offset repacking.
+    """
+    offsets = jnp.asarray(offsets)
+    n = key.shape[0]
+    # arithmetic (NOT bitwise) packing: offsets are signed
+    deltas = (offsets[:, 0] * (1 << (2 * COORD_BITS))
+              + offsets[:, 1] * (1 << COORD_BITS) + offsets[:, 2])  # [K]
+    q_off = off[None, :, :] + offsets[:, None, :]               # [K, N, 3]
+    in_range = jnp.all((q_off >= 0) & (q_off < COORD_RANGE), axis=-1)
+    q = jnp.where(valid[None, :] & in_range, key[None, :] + deltas[:, None],
+                  KEY_PAD)
+    idx = jnp.searchsorted(key, q.reshape(-1), side="left").astype(jnp.int32)
+    idx = jnp.minimum(idx.reshape(q.shape), n - 1)
+    hit = (key[idx] == q) & (q < KEY_PAD)
     return idx, hit  # [K, N], [K, N]
 
 

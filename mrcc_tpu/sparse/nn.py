@@ -40,9 +40,9 @@ class SparseConvK3(nn.Module):
     @nn.compact
     def __call__(self, feats, level):
         w = self.param("kernel", _kaiming_kernel_init,
-                       (27, feats.shape[-1], self.out_channels), feats.dtype)
+                       (27, feats.shape[-1], self.out_channels), jnp.float32)
         b = (self.param("bias", nn.initializers.zeros, (self.out_channels,),
-                        feats.dtype) if self.use_bias else None)
+                        jnp.float32) if self.use_bias else None)
         return C.conv_k3(feats, w, level, bias=b)
 
 
@@ -55,9 +55,9 @@ class SparseConv1x1(nn.Module):
     @nn.compact
     def __call__(self, feats, valid):
         w = self.param("kernel", _kaiming_kernel_init,
-                       (1, feats.shape[-1], self.out_channels), feats.dtype)
+                       (1, feats.shape[-1], self.out_channels), jnp.float32)
         b = (self.param("bias", nn.initializers.zeros, (self.out_channels,),
-                        feats.dtype) if self.use_bias else None)
+                        jnp.float32) if self.use_bias else None)
         return C.conv1x1(feats, w, valid, bias=b)
 
 
@@ -70,9 +70,9 @@ class SparseConvDown(nn.Module):
     @nn.compact
     def __call__(self, feats, fine_level, coarse_level):
         w = self.param("kernel", _kaiming_kernel_init,
-                       (8, feats.shape[-1], self.out_channels), feats.dtype)
+                       (8, feats.shape[-1], self.out_channels), jnp.float32)
         b = (self.param("bias", nn.initializers.zeros, (self.out_channels,),
-                        feats.dtype) if self.use_bias else None)
+                        jnp.float32) if self.use_bias else None)
         return C.conv_down(feats, w, fine_level, coarse_level, bias=b)
 
 
@@ -85,9 +85,9 @@ class SparseConvTranspose(nn.Module):
     @nn.compact
     def __call__(self, feats, coarse_level, fine_level):
         w = self.param("kernel", _kaiming_kernel_init,
-                       (8, feats.shape[-1], self.out_channels), feats.dtype)
+                       (8, feats.shape[-1], self.out_channels), jnp.float32)
         b = (self.param("bias", nn.initializers.zeros, (self.out_channels,),
-                        feats.dtype) if self.use_bias else None)
+                        jnp.float32) if self.use_bias else None)
         return C.conv_transpose_up(feats, w, coarse_level, fine_level, bias=b)
 
 
@@ -105,18 +105,19 @@ class SparseBatchNorm(nn.Module):
     @nn.compact
     def __call__(self, feats, valid, train: bool = False):
         c = feats.shape[-1]
-        scale = self.param("scale", nn.initializers.ones, (c,), feats.dtype)
-        bias = self.param("bias", nn.initializers.zeros, (c,), feats.dtype)
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         ra_mean = self.variable("batch_stats", "mean",
-                                lambda: jnp.zeros((c,), feats.dtype))
+                                lambda: jnp.zeros((c,), jnp.float32))
         ra_var = self.variable("batch_stats", "var",
-                               lambda: jnp.ones((c,), feats.dtype))
+                               lambda: jnp.ones((c,), jnp.float32))
 
+        f32 = feats.astype(jnp.float32)
         if train:
-            v = valid[..., None].astype(feats.dtype)
+            v = valid[..., None].astype(jnp.float32)
             n = jnp.maximum(v.sum(), 1.0)
-            mean = (feats * v).sum(axis=(0, 1)) / n
-            var = (((feats - mean) ** 2) * v).sum(axis=(0, 1)) / n
+            mean = (f32 * v).sum(axis=(0, 1)) / n
+            var = (((f32 - mean) ** 2) * v).sum(axis=(0, 1)) / n
             if not self.is_initializing():
                 m = self.momentum
                 # torch stores unbiased variance in running stats
@@ -126,8 +127,8 @@ class SparseBatchNorm(nn.Module):
         else:
             mean, var = ra_mean.value, ra_var.value
 
-        out = (feats - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
-        return jnp.where(valid[..., None], out, 0.0)
+        out = (f32 - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
+        return jnp.where(valid[..., None], out.astype(feats.dtype), 0)
 
 
 class SparseInstanceNorm(nn.Module):
