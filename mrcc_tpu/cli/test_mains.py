@@ -193,7 +193,7 @@ def test_feature_extractor(cfg: Config = None):
         labels.append(batch["labels"])
     embs = np.concatenate(embs)
     labels = np.concatenate(labels)
-    d = np.asarray(pairwise_dist(jnp.asarray(embs)))
+    d = np.array(pairwise_dist(jnp.asarray(embs)))  # writable copy
     np.fill_diagonal(d, np.inf)
     nn = d.argmin(axis=1)
     recall1 = float((labels[nn] == labels).mean())
