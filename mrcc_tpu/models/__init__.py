@@ -8,3 +8,14 @@ from .robotnet import (  # noqa: F401
     RobotNetSegmentation,
     RobotNetVote,
 )
+from .aliveunet import AliveUNet  # noqa: F401
+from .featurenet import FeatureNet  # noqa: F401
+from .pointnet2 import PointNet, PointNet2MSGEncoder, PointNet2SSG  # noqa: F401
+from .resnet_sparse import (  # noqa: F401
+    SparseResFieldNet,
+    SparseResNet14,
+    SparseResNet18,
+    SparseResNet34,
+    SparseResNet50,
+    SparseResNet101,
+)

@@ -1,0 +1,132 @@
+#!/usr/bin/env python3
+"""Train demo checkpoints on the synthetic sample set and benchmark them.
+
+Produces exp/{segmentation,rotation,key_points}/ checkpoints with the
+reference's naming/retention, wires them into an InferenceEngine, and runs
+the full-pipeline BenchmarkApp — the self-contained version of the
+reference's train -> app/test.py workflow.
+
+Usage: python scripts/train_demo_checkpoints.py [--epochs 40] [--samples 24]
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=40)
+    ap.add_argument("--samples", type=int, default=24)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--out", default="exp")
+    ap.add_argument("--backbone", default="minkunet14A",
+                    help="backbone for the demo nets (14A trains fast; "
+                         "use 'minkunet' for the flagship 18D)")
+    ap.add_argument("--bench-samples", type=int, default=15)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from mrcc_tpu.data import AliveV2Dataset, DataConfig
+    from mrcc_tpu.data.synthetic import generate_sample, gt_base2cam_pose
+    from mrcc_tpu.models import RobotNetEncode, RobotNetSegmentation
+    from mrcc_tpu.train import (LossConfig, LossType, TrainConfig, Trainer,
+                                make_pose_train_step,
+                                make_segmentation_train_step)
+    from mrcc_tpu.train import checkpoint as ckpt
+
+    print(f"devices: {jax.devices()}", flush=True)
+    samples = [generate_sample(seed=1000 + i, n_ee=2048, n_arm=3000,
+                               n_bg=7000) for i in range(args.samples)]
+    tc = TrainConfig(lr=1e-3, batch_size=args.batch, epochs=args.epochs,
+                     save_freq=max(args.epochs // 2, 1))
+
+    # ---------------- segmentation (full scenes, 3 classes)
+    t0 = time.time()
+    seg_cfg = DataConfig(data_type=None, max_points=16384, scale=200,
+                         center_at_origin=True)
+    seg_ds = AliveV2Dataset(samples=samples, cfg=seg_cfg)
+    seg_model = RobotNetSegmentation(backbone=args.backbone, in_channels=3,
+                                     num_classes=3)
+    step, opt = make_segmentation_train_step(seg_model, seg_cfg, tc,
+                                             voxel_capacity=8192)
+    trainer = Trainer(seg_model, seg_ds, step, opt, tc,
+                      exp_path=f"{args.out}/segmentation", exp_name="seg")
+    hist = trainer.fit(epochs=args.epochs)
+    print(f"seg: loss {hist[0]['loss']:.3f} -> {hist[-1]['loss']:.3f} "
+          f"({time.time()-t0:.0f}s)", flush=True)
+    seg_state = trainer.state
+
+    # ---------------- rotation (EE crops, 7-DoF, cos2)
+    t0 = time.time()
+    rot_cfg = DataConfig(data_type="ee_seg", max_points=4096, scale=200,
+                         center_at_origin=True)
+    rot_ds = AliveV2Dataset(samples=samples, cfg=rot_cfg)
+    rot_model = RobotNetEncode(backbone=args.backbone, in_channels=3,
+                               out_channels=7)
+    rstep, ropt = make_pose_train_step(
+        rot_model, rot_cfg, LossConfig(loss_type=LossType.COS2), tc,
+        voxel_capacity=2048)
+    rtrainer = Trainer(rot_model, rot_ds, rstep, ropt, tc,
+                       exp_path=f"{args.out}/rotation", exp_name="rot")
+    rhist = rtrainer.fit(epochs=args.epochs)
+    print(f"rot: loss {rhist[0]['loss']:.3f} -> {rhist[-1]['loss']:.3f} "
+          f"({time.time()-t0:.0f}s)", flush=True)
+    rot_state = rtrainer.state
+
+    # ---------------- keypoints (EE crops, 6 classes, sparse path, scale 800)
+    t0 = time.time()
+    kp_cfg = DataConfig(data_type="ee_seg", max_points=4096, scale=800,
+                        center_at_origin=True, keypoints_enabled=True,
+                        num_of_keypoints=6)
+    kp_ds = AliveV2Dataset(samples=samples, cfg=kp_cfg)
+    kp_model = RobotNetSegmentation(backbone=args.backbone, in_channels=3,
+                                    num_classes=6)
+    kstep, kopt = make_segmentation_train_step(kp_model, kp_cfg, tc,
+                                               voxel_capacity=4096)
+    ktrainer = Trainer(kp_model, kp_ds, kstep, kopt, tc,
+                       exp_path=f"{args.out}/key_points", exp_name="kp")
+    khist = ktrainer.fit(epochs=args.epochs)
+    print(f"kp: loss {khist[0]['loss']:.3f} -> {khist[-1]['loss']:.3f} "
+          f"({time.time()-t0:.0f}s)", flush=True)
+    kp_state = ktrainer.state
+
+    # ---------------- wire into the engine + benchmark
+    from mrcc_tpu.app import InferenceConfig, InferenceEngine, SyntheticDataEngine
+    from mrcc_tpu.eval.benchmark import BenchmarkApp
+
+    icfg = InferenceConfig(
+        point_capacity=16384, seg_voxel_capacity=8192, ee_point_capacity=4096,
+        ee_voxel_capacity=2048, kp_voxel_capacity=4096,
+        seg_backbone=args.backbone, rot_backbone=args.backbone,
+        kp_backbone=args.backbone, icp_iterations=15, icp_template_points=1024,
+        kp_conf_threshold=0.5)
+    params = {
+        "segmentation": {"params": seg_state.params,
+                         "batch_stats": seg_state.batch_stats},
+        "rotation": {"params": rot_state.params,
+                     "batch_stats": rot_state.batch_stats},
+        "key_points": {"params": kp_state.params,
+                       "batch_stats": kp_state.batch_stats},
+    }
+    engine = InferenceEngine(icfg, params=params)
+    source = SyntheticDataEngine(seed=5000, n_ee=2048, n_arm=3000, n_bg=7000)
+    app = BenchmarkApp(engine, source, gt_base2cam_pose(),
+                       n_samples=args.bench_samples, ignore_unconfident=False)
+    res = app.run(out_path=f"{args.out}/trained_benchmark.xlsx")
+    print(json.dumps({k: round(float(np.mean(v)), 4)
+                      for k, v in res["metrics"].items() if v}, indent=2),
+          flush=True)
+    print("calibration:", res["calibration"], flush=True)
+
+
+if __name__ == "__main__":
+    main()
