@@ -68,14 +68,27 @@ def _cylinder_surface(rng, p0, p1, radius, n):
 
 
 def ee_template_points(rng, n=4096):
-    """EE surface points in the canonical EE frame (z along approach axis)."""
-    n_palm = int(n * 0.62)
-    n_f = (n - n_palm) // 2
+    """EE surface points in the canonical EE frame (z along approach axis).
+
+    Deliberately asymmetric like the real Franka hand (one-sided cable fin +
+    wrist collar): a centro-symmetric gripper makes the orientation
+    unlearnable and gives ICP a spurious 180°-flipped minimum.
+    """
+    n_palm = int(n * 0.5)
+    n_f = int(n * 0.14)
+    n_wrist = int(n * 0.12)
+    n_fin = n - n_palm - 2 * n_f - n_wrist
     palm = _box_surface(rng, [-0.022, -0.1, 0.0], [0.02, 0.1, 0.07], n_palm)
     f_l = _box_surface(rng, [-0.01, 0.038, 0.07], [0.01, 0.058, 0.12], n_f)
-    f_r = _box_surface(rng, [-0.01, -0.058, 0.07], [0.01, -0.038, 0.12],
-                       n - n_palm - n_f)
-    return np.concatenate([palm, f_l, f_r])
+    f_r = _box_surface(rng, [-0.01, -0.058, 0.07], [0.01, -0.038, 0.12], n_f)
+    # wrist collar below the palm (z < 0): breaks z-translation symmetry
+    wrist = _cylinder_surface(rng, [0, 0, -0.045], [0, 0, 0.0], 0.032, n_wrist)
+    # one-sided cable fin under the +y flank: breaks the 180° y/x symmetry
+    # (kept shallow so the palm corners remain the extreme points the
+    # 6-keypoint labeller snaps to)
+    fin = _box_surface(rng, [-0.022, 0.055, -0.02], [0.02, 0.08, -0.005],
+                       n_fin)
+    return np.concatenate([palm, f_l, f_r, wrist, fin])
 
 
 def random_pose(rng, dist_range=(0.6, 1.4)):
@@ -139,8 +152,13 @@ def generate_sample(seed=0, n_ee=4096, n_arm=6000, n_bg=14000,
     rgb = np.empty_like(points)
     rgb[labels == 0] = rng.uniform(0.2, 0.9, (int((labels == 0).sum()), 3))
     rgb[labels == 1] = rng.uniform(0.75, 0.95, (int((labels == 1).sum()), 3))
-    rgb[labels == 2] = rng.uniform(0.05, 0.3, (int((labels == 2).sum()), 3))
-    rgb = rgb.astype(np.float32)
+    # EE colors keyed to the local geometry (the real hand's printed shell /
+    # cable side look different per face) — gives nets an orientation cue
+    ee_l = ee_local - ee_local.min(0)
+    ee_l = ee_l / np.maximum(ee_l.max(0), 1e-9)
+    rgb[labels == 2] = (0.08 + 0.25 * ee_l
+                        + rng.normal(size=ee_l.shape) * 0.02)
+    rgb = np.clip(rgb, 0.0, 1.0).astype(np.float32)
 
     perm = rng.permutation(len(points))
     points, rgb, labels = points[perm], rgb[perm], labels[perm]

@@ -63,9 +63,9 @@ def _nn_correspondences(src, target, target_mask):
     return target[idx], jnp.sqrt(jnp.maximum(dmin, 0.0))
 
 
-@partial(jax.jit, static_argnames=("iterations",))
+@partial(jax.jit, static_argnames=("iterations", "use_pallas"))
 def icp_refine(template, ee_points, ee_mask, init_pose, iterations=30,
-               threshold=0.1):
+               threshold=0.1, use_pallas=False):
     """Refine ``init_pose`` so that template (in the EE frame) matches the
     observed EE points.
 
@@ -84,7 +84,14 @@ def icp_refine(template, ee_points, ee_mask, init_pose, iterations=30,
     def body(carry, _):
         r, t = carry  # template -> camera
         src = template @ r.T + t
-        match, dist = _nn_correspondences(src, ee_points, ee_mask)
+        if use_pallas:
+            from ..ops.nn_pallas import nn_search_pallas
+
+            idx, d2 = nn_search_pallas(src, ee_points, ee_mask)
+            match = ee_points[idx]
+            dist = jnp.sqrt(jnp.maximum(d2, 0.0))
+        else:
+            match, dist = _nn_correspondences(src, ee_points, ee_mask)
         w = (dist < threshold).astype(template.dtype)
         # guard: all-rejected -> keep previous transform via zero update
         wsum = jnp.sum(w)

@@ -46,6 +46,11 @@ def main():
     print(f"devices: {jax.devices()}", flush=True)
     samples = [generate_sample(seed=1000 + i, n_ee=2048, n_arm=3000,
                                n_bg=7000) for i in range(args.samples)]
+    # pose/keypoint heads see only the EE crop — generate many cheap
+    # EE-dominant samples for pose diversity (rotation regression needs far
+    # more pose coverage than segmentation does)
+    ee_samples = [generate_sample(seed=20000 + i, n_ee=2048, n_arm=96,
+                                  n_bg=96) for i in range(args.samples * 6)]
     tc = TrainConfig(lr=1e-3, batch_size=args.batch, epochs=args.epochs,
                      save_freq=max(args.epochs // 2, 1))
 
@@ -69,7 +74,7 @@ def main():
     t0 = time.time()
     rot_cfg = DataConfig(data_type="ee_seg", max_points=4096, scale=200,
                          center_at_origin=True)
-    rot_ds = AliveV2Dataset(samples=samples, cfg=rot_cfg)
+    rot_ds = AliveV2Dataset(samples=ee_samples, cfg=rot_cfg)
     rot_model = RobotNetEncode(backbone=args.backbone, in_channels=3,
                                out_channels=7)
     rstep, ropt = make_pose_train_step(
@@ -87,7 +92,7 @@ def main():
     kp_cfg = DataConfig(data_type="ee_seg", max_points=4096, scale=800,
                         center_at_origin=True, keypoints_enabled=True,
                         num_of_keypoints=6)
-    kp_ds = AliveV2Dataset(samples=samples, cfg=kp_cfg)
+    kp_ds = AliveV2Dataset(samples=ee_samples, cfg=kp_cfg)
     kp_model = RobotNetSegmentation(backbone=args.backbone, in_channels=3,
                                     num_classes=6)
     kstep, kopt = make_segmentation_train_step(kp_model, kp_cfg, tc,
@@ -108,7 +113,10 @@ def main():
         ee_voxel_capacity=2048, kp_voxel_capacity=4096,
         seg_backbone=args.backbone, rot_backbone=args.backbone,
         kp_backbone=args.backbone, icp_iterations=15, icp_template_points=1024,
-        kp_conf_threshold=0.5)
+        kp_conf_threshold=0.5,
+        # synthetic EE crops carry ~2048 points; the reference's 2048-point
+        # confidence gate would reject everything at ~90% seg recall
+        sanity_min_num_of_ee_points=1024)
     params = {
         "segmentation": {"params": seg_state.params,
                          "batch_stats": seg_state.batch_stats},

@@ -51,9 +51,14 @@ class TestSynthetic:
 
     def test_ee_geometric_recovery(self, sample):
         # get_ee_idx with the gt pose must recover essentially the EE points
+        # that lie inside the reference's EE bbox (the synthetic wrist/fin
+        # extend below its min_z=-0.006, like the real hand's mount)
         pose = wxyz_pose(sample)
         idx = get_ee_idx(sample["points"], pose)
-        gt = set(np.where(sample["labels"] == 2)[0])
+        rot = quat_to_matrix_np(pose[3:7])
+        local = (sample["points"] - pose[:3]) @ rot
+        in_bbox = local[:, 2] > -0.006
+        gt = set(np.where((sample["labels"] == 2) & in_bbox)[0])
         got = set(idx.tolist())
         inter = len(gt & got)
         assert inter / len(gt) > 0.95
