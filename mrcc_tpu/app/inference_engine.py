@@ -88,11 +88,15 @@ class InferenceEngine:
     ``calibrate({position: [ResultDTO]}) -> CalibrationResultDTO``."""
 
     def __init__(self, config: InferenceConfig = None, params=None, seed=0,
-                 calibration_only: bool = False):
+                 calibration_only: bool = False, mesh=None):
+        """``mesh``: optional jax.sharding.Mesh — batch-shards every stage
+        over the devices (multi-chip inference throughput; the batch axis is
+        embarrassingly parallel, XLA propagates the sharding)."""
         self.cfg = config or InferenceConfig()
         cfg = self.cfg
         self.template = jnp.asarray(default_template(cfg.icp_template_points))
         self.pred_enabled = not calibration_only
+        self.mesh = mesh
 
         if calibration_only:
             return
@@ -250,7 +254,23 @@ class InferenceEngine:
     def predict_batch_arrays(self, points, rgb, mask):
         """Batched prediction on padded arrays (throughput path).
 
-        Four chained jit stages; intermediates never leave the device."""
+        Four chained jit stages; intermediates never leave the device(s).
+        With a mesh, inputs are placed batch-sharded and XLA keeps every
+        stage sharded across chips."""
+        if self.mesh is not None:
+            from ..parallel.mesh import batch_sharding, replicate
+
+            sharding = batch_sharding(self.mesh)
+            points = jax.device_put(points, sharding)
+            rgb = jax.device_put(rgb, sharding)
+            mask = jax.device_put(mask, sharding)
+            if not getattr(self, "_params_replicated", False):
+                self.params = replicate(self.params, self.mesh)
+                self.template = jax.device_put(
+                    self.template,
+                    jax.sharding.NamedSharding(self.mesh,
+                                               jax.sharding.PartitionSpec()))
+                self._params_replicated = True
         seg, ee_count, ee_pts, ee_rgb, ee_valid = self._seg_jit(
             self.params["segmentation"], points, rgb, mask)
         ee_pose = self._pose_jit(self.params["rotation"], ee_pts, ee_rgb,

@@ -104,7 +104,7 @@ class AliveV2Dataset:
     """Map-style dataset over labelled sample pickles (or in-memory dicts)."""
 
     def __init__(self, files=None, samples=None, cfg: DataConfig = None,
-                 augment: bool = False, seed: int = 0):
+                 augment: bool = False, seed: int = 0, cache_items=None):
         self.cfg = cfg or DataConfig()
         self.files = list(files) if files is not None else None
         self.samples = samples
@@ -112,6 +112,11 @@ class AliveV2Dataset:
         self.rng = np.random.default_rng(seed)
         self._kp_memo: Dict[int, tuple] = {}
         self._cs_memo: Dict[int, np.ndarray] = {}
+        # eager item caching (the reference's DATA.load_cache_at_start,
+        # alivev2.py:93) — lazy here: first epoch fills, later epochs reuse.
+        # Only valid without augmentation (augmented items differ per epoch).
+        self.cache_items = (not augment) if cache_items is None else cache_items
+        self._item_memo: Dict[int, dict] = {}
 
     def __len__(self):
         return len(self.files) if self.files is not None else len(self.samples)
@@ -125,6 +130,14 @@ class AliveV2Dataset:
         return load_sample(path), other
 
     def __getitem__(self, i):
+        if self.cache_items and i in self._item_memo:
+            return self._item_memo[i]
+        item = self._load_item(i)
+        if self.cache_items:
+            self._item_memo[i] = item
+        return item
+
+    def _load_item(self, i):
         cfg = self.cfg
         sample, other = self._raw(i)
         points = np.asarray(sample["points"], np.float32)

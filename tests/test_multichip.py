@@ -1,0 +1,51 @@
+"""Multi-chip inference: mesh-sharded engine must match single-device."""
+
+import numpy as np
+import pytest
+
+from mrcc_tpu.app import InferenceConfig, InferenceEngine
+from mrcc_tpu.parallel import make_mesh
+
+
+def small_cfg():
+    return InferenceConfig(
+        point_capacity=2048, seg_voxel_capacity=1024, ee_point_capacity=512,
+        ee_voxel_capacity=512, kp_voxel_capacity=512,
+        seg_backbone="minkunet14A", rot_backbone="minkunet14A",
+        kp_backbone="minkunet14A", icp_iterations=3, icp_template_points=256,
+        compute_dtype="float32")
+
+
+def build_batch(b=8, p=2048):
+    from mrcc_tpu.data.synthetic import generate_sample
+
+    pts = np.zeros((b, p, 3), np.float32)
+    rgb = np.zeros((b, p, 3), np.float32)
+    mask = np.zeros((b, p), bool)
+    for i in range(b):
+        s = generate_sample(seed=90 + i, n_ee=400, n_arm=500, n_bg=800)
+        n = min(len(s["points"]), p)
+        pts[i, :n] = s["points"][:n]
+        rgb[i, :n] = s["rgb"][:n]
+        mask[i, :n] = True
+    return pts, rgb, mask
+
+
+class TestMeshInference:
+    def test_sharded_matches_single(self):
+        import jax
+
+        pts, rgb, mask = build_batch()
+        single = InferenceEngine(small_cfg(), seed=0)
+        out1 = jax.device_get(single.predict_batch_arrays(pts, rgb, mask))
+
+        mesh = make_mesh(8)
+        sharded = InferenceEngine(small_cfg(), seed=0, mesh=mesh)
+        out8 = jax.device_get(sharded.predict_batch_arrays(pts, rgb, mask))
+
+        np.testing.assert_array_equal(out1["segmentation"],
+                                      out8["segmentation"])
+        np.testing.assert_array_equal(out1["ee_count"], out8["ee_count"])
+        np.testing.assert_allclose(out1["ee_pose"], out8["ee_pose"],
+                                   atol=2e-3)
+        np.testing.assert_array_equal(out1["kp_found"], out8["kp_found"])
