@@ -44,16 +44,16 @@ def main():
     from mrcc_tpu.app import InferenceConfig, InferenceEngine
 
     on_tpu = jax.devices()[0].platform != "cpu"
-    batch = int(os.environ.get("BENCH_BATCH", 16 if on_tpu else 2))
+    batch = int(os.environ.get("BENCH_BATCH", 8 if on_tpu else 2))
     iters = int(os.environ.get("BENCH_ITERS", 10 if on_tpu else 2))
     capacity = int(os.environ.get("BENCH_POINTS", 16384))
 
     cfg = InferenceConfig(
         point_capacity=capacity,
         seg_voxel_capacity=8192,
-        ee_point_capacity=4096,
+        ee_point_capacity=2048,
         ee_voxel_capacity=2048,
-        kp_voxel_capacity=4096,
+        kp_voxel_capacity=2048,
         icp_iterations=15,
         icp_template_points=1024,
     )
@@ -61,15 +61,17 @@ def main():
 
     pts, rgb, mask = build_inputs(batch, capacity)
 
-    # compile + warmup
+    # compile + warmup; completion is forced with a real host transfer —
+    # block_until_ready alone does NOT wait on some remote backends
+    # (measured: an impossible 6440 TFLOP/s without the device_get)
     out = engine.predict_batch_arrays(pts, rgb, mask)
-    jax.block_until_ready(out)
+    jax.device_get(out["ee_pose"])
 
     t0 = time.perf_counter()
     for _ in range(iters):
         out = engine.predict_batch_arrays(pts, rgb, mask)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    jax.device_get(out["ee_pose"])  # device executes serially: this waits
+    dt = time.perf_counter() - t0   # for every queued iteration
 
     clouds_per_sec = batch * iters / dt
     result = {

@@ -27,7 +27,7 @@ from ..sparse.types import COORD_OFFSET, KEY_PAD, pack_key
 
 @partial(jax.jit, static_argnames=("capacity", "iterations"))
 def largest_cluster_mask(points, mask, dist=0.06, capacity=2048,
-                         iterations=16):
+                         iterations=10):
     """Boolean mask of the largest connected cluster.
 
     Args:

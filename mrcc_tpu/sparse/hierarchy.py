@@ -53,11 +53,11 @@ def _lookup(sorted_keys, queries):
     Returns (idx [M] int32 clamped to [0, N-1], hit [M] bool).
     """
     n = sorted_keys.shape[0]
-    # method='scan' is the O(Q log N) binary search; the default on this
-    # backend lowers to an O(Q*N) compare-all (measured 200 ms vs 0.03 ms
-    # for 1.8M queries over 8k keys)
+    # method='sort' wins on TPU: 'scan' does ~13 dependent gather rounds
+    # and TPU gathers run far off roofline (measured honestly with forced
+    # host sync: scan 203 ms vs sort 28 ms for 1.8M queries over 8k keys)
     idx = jnp.searchsorted(sorted_keys, queries, side="left",
-                           method="scan").astype(jnp.int32)
+                           method="sort").astype(jnp.int32)
     idx = jnp.minimum(idx, n - 1)
     hit = (sorted_keys[idx] == queries) & (queries < KEY_PAD)
     return idx, hit
@@ -81,7 +81,7 @@ def _neighbor_table_one(off, key, valid, offsets):
     q = jnp.where(valid[None, :] & in_range, key[None, :] + deltas[:, None],
                   KEY_PAD)
     idx = jnp.searchsorted(key, q.reshape(-1), side="left",
-                           method="scan").astype(jnp.int32)
+                           method="sort").astype(jnp.int32)
     idx = jnp.minimum(idx.reshape(q.shape), n - 1)
     hit = (key[idx] == q) & (q < KEY_PAD)
     return idx, hit  # [K, N], [K, N]
