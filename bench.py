@@ -50,7 +50,7 @@ def main():
 
     cfg = InferenceConfig(
         point_capacity=capacity,
-        seg_voxel_capacity=8192,
+        seg_voxel_capacity=6144,
         ee_point_capacity=2048,
         ee_voxel_capacity=2048,
         kp_voxel_capacity=2048,
