@@ -71,6 +71,15 @@ class InferenceConfig:
     num_of_keypoints: int = 6
     kp_error_margin: float = 0.05
 
+    # trained-weight checkpoints (INFERENCE.*.checkpoint fields,
+    # config/default.yaml:136-192); ``mrcc_tpu.train.checkpoint`` format.
+    # When set, the engine constructs itself from YAML alone — parity with
+    # the reference ctor loading three checkpoints
+    # (app/inference_engine.py:54-126).
+    seg_checkpoint: typing.Optional[str] = None
+    rot_checkpoint: typing.Optional[str] = None
+    kp_checkpoint: typing.Optional[str] = None
+
     compute_dtype: str = "bfloat16"  # conv-path compute (f32 accumulation)
     ee_point_counts_threshold: int = 512
     icp_enabled: bool = True
@@ -112,6 +121,7 @@ class InferenceEngine:
 
         if params is None:
             params = self.init_params(jax.random.PRNGKey(seed))
+            params = self._load_checkpoints(params)
         self.params = params
         # Stage-wise jit: four moderate programs instead of one huge one —
         # compiles are independent (and cache-friendly); intermediate arrays
@@ -152,6 +162,35 @@ class InferenceEngine:
             }
 
         return init_all(key, pts, rgb, mask)
+
+    def _load_checkpoints(self, params):
+        """Load trained weights for each stage whose checkpoint is configured
+        (reference ctor: three checkpoint loads, inference_engine.py:54-126).
+
+        Checkpoints are ``mrcc_tpu.train.checkpoint`` files holding a full
+        TrainState; only params/batch_stats are taken.  ``.pth`` files go
+        through the reference-interop importer (train/interop.py)."""
+        import flax.serialization
+
+        cfg = self.cfg
+        stages = {"segmentation": cfg.seg_checkpoint,
+                  "rotation": cfg.rot_checkpoint,
+                  "key_points": cfg.kp_checkpoint}
+        for stage, path in stages.items():
+            if not path:
+                continue
+            if path.endswith(".pth"):
+                from ..train.interop import import_pth_variables
+
+                params[stage] = import_pth_variables(path, params[stage])
+                continue
+            with open(path, "rb") as f:
+                raw = flax.serialization.msgpack_restore(f.read())
+            variables = {"params": raw["params"],
+                         "batch_stats": raw.get("batch_stats", {})}
+            params[stage] = flax.serialization.from_state_dict(
+                params[stage], variables)
+        return params
 
     # ------------------------------------------------------------ the jit
 
@@ -292,10 +331,20 @@ class InferenceEngine:
         }
 
     def _pad(self, points, rgb):
+        """Pad (and, if over capacity, subsample) one cloud to the static
+        point capacity.
+
+        Returns ``(pts, cols, mask, n, sel)`` where ``sel`` is the index of
+        each kept row in the ORIGINAL cloud (None when nothing was dropped)
+        — callers must scatter per-point outputs back through ``sel`` so
+        results stay aligned with ``data.points`` (the reference runs on all
+        points; silently returning sampled-order labels misaligns every
+        downstream per-point consumer)."""
         p = self.cfg.point_capacity
         n = len(points)
+        sel = None
         if n > p:
-            sel = np.random.default_rng(0).choice(n, p, replace=False)
+            sel = np.sort(np.random.default_rng(0).choice(n, p, replace=False))
             points, rgb = points[sel], rgb[sel]
             n = p
         pts = np.zeros((1, p, 3), np.float32)
@@ -304,18 +353,33 @@ class InferenceEngine:
         pts[0, :n] = points
         cols[0, :n] = rgb
         mask[0, :n] = True
-        return pts, cols, mask, n
+        return pts, cols, mask, n, sel
 
     def predict(self, data: PointCloudDTO) -> ResultDTO:
         """Single-cloud prediction; parity with predict (:281-382)."""
         if not self.pred_enabled:
             return ResultDTO(segmentation=np.zeros(len(data.points), np.int32))
 
-        pts, cols, mask, n = self._pad(np.asarray(data.points, np.float32),
-                                       np.asarray(data.rgb, np.float32))
+        points = np.asarray(data.points, np.float32)
+        pts, cols, mask, n, sel = self._pad(points,
+                                            np.asarray(data.rgb, np.float32))
         out = jax.device_get(self.predict_batch_arrays(pts, cols, mask))
 
         seg = out["segmentation"][0][:n]
+        if sel is not None:
+            # scatter sampled labels back to full cloud length via nearest
+            # sampled point (unsampled points inherit their neighbour's
+            # label) so seg aligns with data.points
+            full = np.zeros(len(points), np.int32)
+            full[sel] = seg
+            unsel = np.ones(len(points), bool)
+            unsel[sel] = False
+            if unsel.any():
+                from scipy.spatial import cKDTree
+
+                _, nn = cKDTree(points[sel]).query(points[unsel], k=1)
+                full[unsel] = seg[nn]
+            seg = full
         result = ResultDTO(segmentation=seg)
         if int(out["ee_count"][0]) < self.cfg.ee_point_counts_threshold:
             return result

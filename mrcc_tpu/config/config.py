@@ -167,6 +167,9 @@ class Config:
         rot = inf.get("ROTATION", {})
         kp = inf.get("KEY_POINTS", {})
         return InferenceConfig(
+            seg_checkpoint=seg.get("checkpoint"),
+            rot_checkpoint=rot.get("checkpoint"),
+            kp_checkpoint=kp.get("checkpoint"),
             seg_backbone=_norm_backbone(seg.get("backbone", "minkunet")),
             seg_scale=seg.get("scale", 200),
             seg_center_at_origin=seg.get("center_at_origin", True),

@@ -231,14 +231,19 @@ def collect_closest_points(idx, points, euclidean_threshold=0.006):
     return pcls_idx, p_idx
 
 
-def farthest_point_sample_idx(points, npoint, seed=None):
-    """Numpy FPS (utils/data.py:13).  Deterministic when ``seed`` given."""
+def farthest_point_sample_idx(points, npoint, seed=None, start_idx=None):
+    """Numpy FPS (utils/data.py:13).  Deterministic when ``seed`` or
+    ``start_idx`` given (``start_idx`` pins the first centroid, matching the
+    native C++ path's semantics)."""
     n = len(points)
     xyz = points[:, :3]
-    rng = np.random.default_rng(seed)
+    if start_idx is not None:
+        farthest = int(start_idx)
+    else:
+        rng = np.random.default_rng(seed)
+        farthest = int(rng.integers(0, n))
     centroids = np.zeros(npoint, dtype=np.int64)
     distance = np.full(n, 1e10)
-    farthest = int(rng.integers(0, n))
     for i in range(npoint):
         centroids[i] = farthest
         d = np.sum((xyz - xyz[farthest]) ** 2, axis=-1)

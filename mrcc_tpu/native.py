@@ -124,7 +124,9 @@ def fps_host(points, npoint, start_idx=0):
         return out
     from .data.labels import farthest_point_sample_idx
 
-    return farthest_point_sample_idx(points, npoint, seed=None).astype(np.int32)
+    # seed the first centroid with start_idx so native and numpy paths agree
+    return farthest_point_sample_idx(
+        points, npoint, start_idx=start_idx).astype(np.int32)
 
 
 def ball_query_host(points, queries, radius, nsample):

@@ -23,10 +23,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
-def make_mesh(n_devices: Optional[int] = None) -> Mesh:
-    """1-D data-parallel mesh over the first n devices."""
-    devices = jax.devices()
+def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+    """1-D data-parallel mesh over the first n devices.
+
+    Raises if fewer than ``n_devices`` are available — silently truncating
+    would make multi-chip tests "pass" on a single device while proving
+    nothing about the sharded path.
+    """
+    if devices is None:
+        devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"make_mesh({n_devices}): only {len(devices)} devices "
+                f"available ({[d.platform for d in devices[:4]]}...). For a "
+                "virtual mesh, force JAX_PLATFORMS=cpu and "
+                "jax_num_cpu_devices before backend init.")
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (DATA_AXIS,))
 
@@ -62,23 +74,20 @@ def replicate(tree, mesh: Mesh):
 
 def pad_batch_to(batch, total: int):
     """Pad the leading axis of every array in the batch dict to ``total``
-    rows (repeating row 0 with masks zeroed) so it divides the mesh size."""
-    def pad(x, zero_mask=False):
+    rows so it divides the mesh size.
+
+    Pads by duplicating item 0 WHOLE (points, mask, labels, pose together):
+    each padded row is then a real (item, target) pair, so pose losses and
+    metrics that average over the batch axis stay valid — the objective is
+    merely reweighted slightly toward item 0 on the final partial batch.
+    (Zeroing the mask instead would feed empty clouds with real pose targets
+    into unmasked per-item pose losses — garbage gradients.)"""
+    def pad(x):
         x = np.asarray(x)
         b = x.shape[0]
         if b == total:
             return x
-        pad_rows = np.repeat(x[:1], total - b, axis=0)
-        if zero_mask:
-            pad_rows = np.zeros_like(pad_rows)
-        return np.concatenate([x, pad_rows], axis=0)
+        return np.concatenate([x, np.repeat(x[:1], total - b, axis=0)],
+                              axis=0)
 
-    out = {}
-    for k, v in batch.items():
-        if k == "others":
-            out[k] = v
-        elif k == "mask":
-            out[k] = pad(v, zero_mask=True)
-        else:
-            out[k] = pad(v)
-    return out
+    return {k: (v if k == "others" else pad(v)) for k, v in batch.items()}

@@ -1,17 +1,23 @@
-"""Largest-cluster extraction (single-linkage equivalent) inside jit.
+"""Largest-cluster extraction (exact single-linkage) inside jit.
 
 TPU-native replacement for sklearn AgglomerativeClustering(single linkage,
 distance_threshold=0.06) as used by ClusterUtil.get_largest_cluster
 (reference utils/output.py:13-28, applied to predicted-EE points in
 inference_engine.py:429-434).
 
-Method: voxel-grid connected components.  Points are binned into cells of
-edge ``dist/sqrt(3)`` so that any two points within one cell are guaranteed
-closer than ``dist``; cells are linked to their 26 neighbours (conservative
-single-linkage superset at ~2*dist, adequate for separating the EE blob from
-stray false positives, which is what the reference uses it for) and labels
-are propagated to a fixed point with a bounded iteration loop.  Everything is
-fixed-shape: O(P + V·27) per iteration.
+Method: EXACT single-linkage at threshold ``dist`` = connected components of
+the graph {(i, j) : ||p_i - p_j|| < dist}.  Masked points are compacted into
+a fixed ``capacity`` buffer, the full pairwise-distance adjacency is built
+with one MXU matmul, and component labels are propagated to a fixed point
+with min-over-neighbours sweeps + pointer jumping (O(log n) sweeps).  This
+matches sklearn's result exactly (single linkage merges iff distance <
+threshold), unlike grid-cell linkage approximations which can both split a
+true cluster (points within dist landing 2 cells apart) and over-link
+separate blobs — either of which can change which blob is "largest".
+
+Cost: one [C, C] distance matrix + ``iterations`` masked min-reduces over it
+— at C = 4096 that is ~16 M elements per sweep, trivial next to the
+segmentation U-Net.
 """
 
 from __future__ import annotations
@@ -21,70 +27,54 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..sparse.hierarchy import K3_OFFSETS, _lookup, _neighbor_table_one
-from ..sparse.types import COORD_OFFSET, KEY_PAD, pack_key
-
 
 @partial(jax.jit, static_argnames=("capacity", "iterations"))
 def largest_cluster_mask(points, mask, dist=0.06, capacity=2048,
-                         iterations=10):
-    """Boolean mask of the largest connected cluster.
+                         iterations=16):
+    """Boolean mask of the largest single-linkage cluster (exact).
 
     Args:
       points: [P, 3] points.
-      mask: [P] validity.
+      mask: [P] validity (cluster over these points only).
       dist: linkage distance threshold (reference 0.06).
-      capacity: static voxel capacity for the clustering grid.
-      iterations: max label-propagation sweeps.  Each sweep combines a
-        26-neighbour min with pointer jumping, so convergence is
-        O(log diameter): 16 sweeps cover components with diameters far
-        beyond any physical cluster at these grid sizes.
+      capacity: static compaction capacity.  The first ``capacity`` masked
+        points (in index order) participate; overflow points are excluded
+        from the output mask (choose capacity >= expected EE point count).
+      iterations: label-propagation sweeps; each combines a neighbour-min
+        with pointer jumping, so convergence is O(log n) — 16 covers any
+        graph up to 2^16 points of path length.
 
     Returns [P] bool — points belonging to the largest cluster.
     """
-    cell = dist / jnp.sqrt(3.0)
-    coords = jnp.floor(points / cell).astype(jnp.int32) + COORD_OFFSET
-    in_range = jnp.all((coords >= 0) & (coords < 2 * COORD_OFFSET), axis=-1)
-    ok = mask & in_range
-    key = jnp.where(ok, pack_key(coords), KEY_PAD)
+    p = points.shape[0]
+    c = min(capacity, p)
+    # compact masked rows to the front (stable keeps index order)
+    order = jnp.argsort(~mask, axis=-1, stable=True)[:c]
+    pts = jnp.take(points, order, axis=0)
+    ok = jnp.take(mask, order, axis=0)
 
-    skey = jnp.sort(key)
-    first = jnp.concatenate([jnp.ones((1,), bool), skey[1:] != skey[:-1]])
-    run_id = jnp.cumsum(first) - 1
-    pt_ok = (skey < KEY_PAD) & (run_id < capacity)
-    vid_sorted = jnp.where(pt_ok, run_id, capacity)
-    ukey = jax.ops.segment_min(skey, vid_sorted, num_segments=capacity + 1)[:capacity]
-    counts = jax.ops.segment_sum(jnp.ones_like(skey, dtype=jnp.float32),
-                                 vid_sorted, num_segments=capacity + 1)[:capacity]
-    vvalid = counts > 0
-    ukey = jnp.where(vvalid, ukey, KEY_PAD)
-    uoff = jnp.where(vvalid[:, None],
-                     jnp.stack([(ukey >> 20) & 1023, (ukey >> 10) & 1023,
-                                ukey & 1023], axis=-1), 0)
+    # pairwise squared distances via one MXU matmul (f32 accumulation)
+    sq = jnp.sum(pts * pts, axis=-1)
+    g = jnp.dot(pts, pts.T, preferred_element_type=jnp.float32)
+    d2 = sq[:, None] + sq[None, :] - 2.0 * g
+    adj = (d2 < dist * dist) & ok[:, None] & ok[None, :]
 
-    nbr_idx, nbr_hit = _neighbor_table_one(uoff, ukey, vvalid, K3_OFFSETS)
-
-    # label propagation: min label over 27-neighbourhood until fixpoint
-    init = jnp.where(vvalid, jnp.arange(capacity, dtype=jnp.int32), capacity)
+    init = jnp.where(ok, jnp.arange(c, dtype=jnp.int32), c)
 
     def sweep(labels, _):
-        gathered = labels[nbr_idx]  # [27, V]
-        gathered = jnp.where(nbr_hit, gathered, capacity)
-        new = jnp.minimum(labels, gathered.min(axis=0))
-        # pointer jumping: a label is itself a voxel index, so hop to that
-        # voxel's label — turns O(diameter) convergence into O(log diameter)
-        hop = new[jnp.minimum(new, capacity - 1)]
-        new = jnp.minimum(new, jnp.where(new < capacity, hop, capacity))
+        nbr_min = jnp.min(jnp.where(adj, labels[None, :], c), axis=1)
+        new = jnp.minimum(labels, nbr_min)
+        # pointer jumping: a label is itself a row index, so hop to that
+        # row's label — O(diameter) convergence becomes O(log diameter)
+        hop = new[jnp.minimum(new, c - 1)]
+        new = jnp.minimum(new, jnp.where(new < c, hop, c))
         return new, None
 
     labels, _ = jax.lax.scan(sweep, init, None, length=iterations)
 
-    # cluster sizes weighted by point counts; pick the biggest
-    sizes = jax.ops.segment_sum(counts, labels, num_segments=capacity + 1)
-    best = jnp.argmin(jnp.where(jnp.arange(capacity + 1) < capacity,
-                                -sizes, jnp.inf))
+    sizes = jax.ops.segment_sum(ok.astype(jnp.float32), labels,
+                                num_segments=c + 1)
+    best = jnp.argmin(jnp.where(jnp.arange(c + 1) < c, -sizes, jnp.inf))
 
-    # map each point to its voxel's label (via its key)
-    vidx, vhit = _lookup(ukey, key)
-    pt_label = jnp.where(vhit, labels[vidx], capacity)
-    return pt_label == best
+    in_best = (labels == best) & ok
+    return jnp.zeros((p,), bool).at[order].set(in_best)

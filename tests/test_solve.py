@@ -110,6 +110,58 @@ class TestCluster:
                                               jnp.asarray(mask)))
         assert got[:10].all() and not got[10:].any()
 
+    @staticmethod
+    def _sklearn_largest(pts, dist=0.06):
+        """The reference oracle: utils/output.py:13-28."""
+        from sklearn.cluster import AgglomerativeClustering
+
+        labels = AgglomerativeClustering(
+            n_clusters=None, linkage="single", distance_threshold=dist,
+        ).fit_predict(pts)
+        counts = np.bincount(labels)
+        return labels == counts.argmax()
+
+    def test_sklearn_oracle_boundary_blobs(self, rng):
+        # blobs separated by 0.07-0.15 m sit just beyond the 0.06 linkage:
+        # sklearn keeps them apart and so must we (the round-1 grid linkage
+        # over-linked up to ~2x dist here)
+        for gap in (0.07, 0.08, 0.10, 0.15):
+            a = rng.normal(size=(200, 3)).astype(np.float32) * 0.004
+            b = rng.normal(size=(120, 3)).astype(np.float32) * 0.004
+            b[:, 0] += gap
+            pts = np.concatenate([a, b])
+            want = self._sklearn_largest(pts)
+            got = np.asarray(largest_cluster_mask(
+                jnp.asarray(pts), jnp.ones(len(pts), bool)))
+            np.testing.assert_array_equal(got, want, err_msg=f"gap={gap}")
+
+    def test_sklearn_oracle_random_segmentation_shaped(self, rng):
+        # segmentation-shaped data: a dense EE blob + arm remnants + strays
+        for trial in range(5):
+            ee = rng.normal(size=(400, 3)).astype(np.float32) * 0.03
+            arm = rng.normal(size=(150, 3)).astype(np.float32) * 0.02
+            arm[:, 2] += 0.30
+            strays = rng.uniform(-1, 1, size=(30, 3)).astype(np.float32)
+            pts = np.concatenate([ee, arm, strays])
+            want = self._sklearn_largest(pts)
+            got = np.asarray(largest_cluster_mask(
+                jnp.asarray(pts), jnp.ones(len(pts), bool)))
+            np.testing.assert_array_equal(got, want, err_msg=f"trial={trial}")
+
+    def test_sklearn_oracle_within_dist_pairs_linked(self, rng):
+        # pairs just UNDER dist must merge (the round-1 grid linkage could
+        # split these when they landed 2 cells apart on one axis)
+        base = rng.normal(size=(50, 3)).astype(np.float32) * 0.002
+        bridge = np.array([[0.059, 0.0, 0.0]], np.float32)
+        far = rng.normal(size=(60, 3)).astype(np.float32) * 0.002
+        far[:, 0] += 0.059 + 0.059  # chained through the bridge point
+        pts = np.concatenate([base, bridge, far])
+        want = self._sklearn_largest(pts)
+        got = np.asarray(largest_cluster_mask(
+            jnp.asarray(pts), jnp.ones(len(pts), bool)))
+        np.testing.assert_array_equal(got, want)
+        assert got.all()  # everything is one chain -> one cluster
+
 
 class TestKeypoints:
     def test_predictions_threshold(self, rng):
