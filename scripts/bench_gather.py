@@ -6,14 +6,15 @@ representative U-Net level shapes, the candidate replacements:
 
   S1  take_along_axis (current conv path)          [XLA gather]
   S2  full one-hot matmul                          [MXU, N_in-wide]
-  S3  windowed one-hot matmul, per-tile dynamic_slice windows (exploits
-      monotonic nbr_idx)                           [XLA scan + MXU]
   S4  pallas: whole table in VMEM, windowed one-hot matmul per offset
-  S5  pallas: per-row dynamic loads from VMEM table (fori_loop)
+      (exploits monotone nbr_idx; per-tile window starts scalar-prefetched)
   S6  the conv GEMM alone (floor)
 
+All timing runs REPS iterations INSIDE one jit program (per-dispatch
+overhead on the tunneled backend is ~10 ms — naive per-call timing measures
+the tunnel, not the chip).  Completion forced via jax.device_get.
+
 Run:  python scripts/bench_gather.py [LEVEL ...]
-Honest timing: every measurement forces completion via jax.device_get.
 """
 
 import sys
@@ -36,6 +37,7 @@ LEVELS = {
     "dec": (3072, 96, 96),
 }
 B, K = 8, 27
+REPS = 20
 
 
 def make_inputs(n, cin, seed=0):
@@ -55,18 +57,27 @@ def make_inputs(n, cin, seed=0):
     return feats, jnp.asarray(idx), jnp.asarray(hit)
 
 
-def timeit(fn, *args, iters=20):
-    out = fn(*args)
-    jax.device_get(jax.tree_util.tree_leaves(out)[0])
+def bench(core, feats, idx, hit, w):
+    """Throughput timing: queue REPS independent dispatches, sync once
+    (the bench.py pattern).
+
+    In-jit serial chaining is NOT usable on this backend (dependent ops pay
+    a ~1.9 ms serialization penalty regardless of size), and scalar-carry
+    chaining lets XLA dead-code-eliminate the computation — queued
+    independent dispatches overlap host dispatch (~5 ms) with device work
+    and measure what the engine actually experiences.
+    """
+    fn = jax.jit(core)
+    out = fn(feats, idx, hit, w)
+    jax.device_get(out)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.device_get(jax.tree_util.tree_leaves(out)[0])
-    return (time.perf_counter() - t0) / iters
+    for _ in range(REPS):
+        out = fn(feats, idx, hit, w)
+    jax.device_get(out)
+    return (time.perf_counter() - t0) / REPS
 
 
 # ---------------------------------------------------------------- S1
-@partial(jax.jit, static_argnames=())
 def s1_take(feats, idx, hit, w):
     def step(acc, inp):
         wk, i, h = inp
@@ -81,7 +92,6 @@ def s1_take(feats, idx, hit, w):
 
 
 # ---------------------------------------------------------------- S2
-@jax.jit
 def s2_onehot(feats, idx, hit, w):
     n = feats.shape[1]
 
@@ -99,126 +109,60 @@ def s2_onehot(feats, idx, hit, w):
     return out
 
 
-# ---------------------------------------------------------------- S3
-@partial(jax.jit, static_argnames=("t", "win"))
-def s3_windowed(feats, idx, hit, w, t=128, win=512):
-    n = feats.shape[1]
-    n_t = n // t
-    wt = w.astype(feats.dtype)
-
-    # per (k, tile) window start, clamped so the window fits
-    starts = jnp.minimum(idx[:, :, ::t], n - win)  # [K, B, n_t]
-
-    def tile_step(carry, tidx):
-        def k_step(acc, inp):
-            wk, i_k, h_k, st_k = inp  # [B,t], [B,t], [B]
-            # per-item dynamic window: vmap dynamic_slice over batch
-            window = jax.vmap(
-                lambda f, s: jax.lax.dynamic_slice(f, (s, 0), (win,
-                                                               f.shape[1]))
-            )(feats, st_k)  # [B, win, C]
-            local = i_k - st_k[:, None]
-            oh = (local[..., None] == jnp.arange(win)[None, None, :])
-            oh = jnp.where(h_k[..., None] & (local[..., None] >= 0)
-                           & (local[..., None] < win), oh, False)
-            g = jnp.einsum("bmw,bwc->bmc", oh.astype(feats.dtype), window,
-                           preferred_element_type=jnp.float32
-                           ).astype(feats.dtype)
-            return acc + jnp.einsum("bmc,cd->bmd", g, wk,
-                                    preferred_element_type=jnp.float32), None
-
-        i_t = jax.lax.dynamic_slice_in_dim(idx, tidx * t, t, axis=2)
-        h_t = jax.lax.dynamic_slice_in_dim(hit, tidx * t, t, axis=2)
-        st = jax.lax.dynamic_slice_in_dim(starts, tidx, 1, axis=2)[..., 0]
-        init = jnp.zeros((B, t, w.shape[-1]), jnp.float32)
-        out_t, _ = jax.lax.scan(k_step, init, (wt, i_t, h_t, st))
-        return carry, out_t
-
-    _, tiles = jax.lax.scan(tile_step, None, jnp.arange(n_t))
-    return jnp.moveaxis(tiles, 0, 1).reshape(B, n, w.shape[-1])
-
-
 # ---------------------------------------------------------------- S4
-def s4_pallas_windowed(feats, idx, hit, w, t=128, win=512):
-    n, cin = feats.shape[1], feats.shape[2]
-    cout = w.shape[-1]
+def make_s4(n, cin, cout, t=128, win=512):
     n_t = n // t
-    starts = jnp.minimum(idx[:, :, ::t], n - win).astype(jnp.int32)  # [K,B,nt]
 
-    def kernel(starts_ref, feats_ref, idx_ref, hit_ref, w_ref, out_ref):
+    def kernel(starts_ref, idx_ref, hit_ref, feats_ref, w_ref, out_ref):
         b = pl.program_id(0)
         ti = pl.program_id(1)
         acc = jnp.zeros((t, cout), jnp.float32)
         iota_w = jax.lax.broadcasted_iota(jnp.int32, (t, win), 1)
         for k in range(K):
-            st = starts_ref[k, b, ti]
-            window = feats_ref[b, pl.ds(st, win), :]  # VMEM slice
-            local = idx_ref[k, b, pl.ds(ti * t, t)] - st
-            h = hit_ref[k, b, pl.ds(ti * t, t)]
-            oh = (local[:, None] == iota_w) & (h[:, None] != 0)
-            g = jnp.dot(oh.astype(window.dtype), window,
-                        preferred_element_type=jnp.float32)
+            st = pl.multiple_of(starts_ref[k * B * n_t + b * n_t + ti], 8)
+            window = feats_ref[0, pl.ds(st, win), :]
+            local = idx_ref[k, 0, :] - st
+            h = hit_ref[k, 0, :]
+            oh = ((local[:, None] == iota_w) & (h[:, None] != 0)
+                  ).astype(window.dtype)
+            g = jnp.dot(oh, window, preferred_element_type=jnp.float32)
             acc = acc + jnp.dot(g.astype(w_ref.dtype), w_ref[k],
                                 preferred_element_type=jnp.float32)
-        out_ref[b, pl.ds(ti * t, t), :] = acc
+        out_ref[0, :, :] = acc
 
-    fn = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((B, n, cout), jnp.float32),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(B, n_t),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, 1, t), lambda b, ti, starts: (0, b, ti),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, 1, t), lambda b, ti, starts: (0, b, ti),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, cin), lambda b, ti, starts: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, cin, cout), lambda b, ti, starts: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, t, cout), lambda b, ti, starts: (b, ti, 0),
+                               memory_space=pltpu.VMEM),
     )
-    return jax.jit(lambda f, i, h, ww: fn(starts, f, i, h.astype(jnp.int32),
-                                          ww.astype(f.dtype)))(
-        feats, idx, hit, w)
-
-
-# ---------------------------------------------------------------- S5
-def s5_pallas_rowloop(feats, idx, hit, w):
-    n, cin = feats.shape[1], feats.shape[2]
-    cout = w.shape[-1]
-    t = 128
-    n_t = n // t
-
-    def kernel(feats_ref, idx_ref, hit_ref, w_ref, out_ref, scratch):
-        b = pl.program_id(0)
-        ti = pl.program_id(1)
-        acc = jnp.zeros((t, cout), jnp.float32)
-        for k in range(K):
-            def body(r, _):
-                j = idx_ref[k, b, ti * t + r]
-                scratch[r, :] = feats_ref[b, j, :]
-                return _
-
-            jax.lax.fori_loop(0, t, body, None)
-            h = hit_ref[k, b, pl.ds(ti * t, t)]
-            g = jnp.where(h[:, None] != 0, scratch[:, :], 0)
-            acc = acc + jnp.dot(g.astype(w_ref.dtype), w_ref[k],
-                                preferred_element_type=jnp.float32)
-        out_ref[b, pl.ds(ti * t, t), :] = acc
-
-    fn = pl.pallas_call(
+    call = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, n, cout), jnp.float32),
-        grid=(B, n_t),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((t, cin), jnp.float32)],
+        grid_spec=grid_spec,
     )
-    return jax.jit(lambda f, i, h, ww: fn(f, i, h.astype(jnp.int32),
-                                          ww.astype(f.dtype)))(
-        feats, idx, hit, w)
+
+    def core(feats, idx, hit, w):
+        # per (k, b, tile) window start: aligned down to 8, clamped to fit
+        starts = idx[:, :, ::t]
+        starts = jnp.minimum(starts - (starts % 8), n - win).astype(jnp.int32)
+        return call(starts.reshape(-1), idx, hit.astype(jnp.int32), feats,
+                    w.astype(feats.dtype))
+
+    return core
 
 
 # ---------------------------------------------------------------- S6
-@jax.jit
 def s6_gemm_floor(feats, idx, hit, w):
     def step(acc, wk):
         return acc + jnp.einsum("bnc,cd->bnd", feats, wk,
@@ -232,7 +176,8 @@ def s6_gemm_floor(feats, idx, hit, w):
 def main():
     names = sys.argv[1:] or list(LEVELS)
     dev = jax.devices()[0]
-    print(f"# device: {dev.platform} {getattr(dev, 'device_kind', '')}")
+    print(f"# device: {dev.platform} {getattr(dev, 'device_kind', '')} "
+          f"reps={REPS}")
     for name in names:
         n, cin, cout = LEVELS[name]
         feats, idx, hit = make_inputs(n, cin)
@@ -240,35 +185,32 @@ def main():
             np.random.default_rng(1).normal(size=(K, cin, cout)) / cin,
             jnp.float32)
         rows = K * B * n
-        results = {}
+        gemm_gflop = 2 * rows * cin * cout / 1e9
         feats_bf = jnp.asarray(feats, jnp.bfloat16)
-        ref = None
-        for label, fn, f in [
+        strategies = [
             ("S1_take_f32", s1_take, jnp.asarray(feats)),
             ("S1_take_bf16", s1_take, feats_bf),
             ("S2_onehot_bf16", s2_onehot, feats_bf),
-            ("S3_windowed_bf16", s3_windowed, feats_bf),
-            ("S4_pallas_win_bf16", s4_pallas_windowed, feats_bf),
-            ("S5_pallas_row_bf16", s5_pallas_rowloop, feats_bf),
+            ("S4_pallas_win_bf16", make_s4(n, cin, cout), feats_bf),
+            ("S4_pallas_win_f32", make_s4(n, cin, cout), jnp.asarray(feats)),
             ("S6_gemm_floor_bf16", s6_gemm_floor, feats_bf),
-        ]:
-            try:
-                dt = timeit(fn, f, idx, hit, w)
-                out = np.asarray(fn(f, idx, hit, w), np.float32)
-                if label == "S1_take_f32":
-                    ref = out
-                err = (np.abs(out - ref).max() if ref is not None else -1)
-                results[label] = (dt, err)
-            except Exception as e:  # noqa: BLE001
-                results[label] = (None, str(e).split(chr(10))[0][:90])
+        ]
         print(f"\n== {name}: N={n} Cin={cin} Cout={cout} B={B} K={K} "
-              f"({rows/1e6:.2f}M rows/conv)")
-        for label, (dt, err) in results.items():
-            if dt is None:
-                print(f"  {label:22s} FAILED: {err}")
-            else:
-                print(f"  {label:22s} {dt*1e3:8.3f} ms   "
-                      f"{rows/dt/1e9:7.2f} Grows/s   maxerr={err:.2e}")
+              f"({rows/1e6:.2f}M rows, {gemm_gflop:.1f} GEMM-GFLOP/conv)")
+        ref = None
+        for label, fn, f in strategies:
+            try:
+                out = np.asarray(jax.jit(fn)(f, idx, hit, w), np.float32)
+                if ref is None:
+                    ref = out
+                err = float(np.abs(out - ref).max())
+                dt = bench(fn, f, idx, hit, w)
+                print(f"  {label:22s} {dt*1e3:8.3f} ms  "
+                      f"{rows/dt/1e9:7.2f} Grows/s  "
+                      f"{gemm_gflop/dt/1e3:7.2f} TF/s-equiv  maxerr={err:.2e}")
+            except Exception as e:  # noqa: BLE001
+                msg = str(e).split(chr(10))[0][:110]
+                print(f"  {label:22s} FAILED: {msg}")
 
 
 if __name__ == "__main__":
