@@ -70,6 +70,11 @@ class InferenceConfig:
     kp_conf_threshold: float = 0.75
     num_of_keypoints: int = 6
     kp_error_margin: float = 0.05
+    # dense (pointnet2) keypoint path (reference predict_key_points
+    # :491-559): fixed-size point sample through PointNet2SSG
+    num_of_dense_input_points: int = 2048
+    kp_sampling_method: str = "uniform"   # 'uniform' | 'farthest'
+    kp_use_coordinates_as_features: bool = False
 
     # trained-weight checkpoints (INFERENCE.*.checkpoint fields,
     # config/default.yaml:136-192); ``mrcc_tpu.train.checkpoint`` format.
@@ -115,9 +120,16 @@ class InferenceEngine:
             num_classes=cfg.num_classes)
         self._rot_model = RobotNetEncode(
             backbone=cfg.rot_backbone, in_channels=3, out_channels=7)
-        self._kp_model = RobotNetSegmentation(
-            backbone=cfg.kp_backbone, in_channels=3,
-            num_classes=cfg.num_of_keypoints)
+        self._kp_dense = cfg.kp_backbone == "pointnet2"
+        if self._kp_dense:
+            from ..models import PointNet2SSG
+
+            self._kp_model = PointNet2SSG(num_classes=cfg.num_of_keypoints,
+                                          in_channels=3)
+        else:
+            self._kp_model = RobotNetSegmentation(
+                backbone=cfg.kp_backbone, in_channels=3,
+                num_classes=cfg.num_of_keypoints)
 
         if params is None:
             params = self.init_params(jax.random.PRNGKey(seed))
@@ -155,10 +167,15 @@ class InferenceEngine:
             k1, k2, k3 = jax.random.split(key, 3)
             svox, _, _ = voxelize(pts, rgb, mask, 1 / cfg.seg_scale, 256)
             slevels = build_hierarchy(svox, 4, capacities=(128, 64, 64, 64))
+            if self._kp_dense:
+                x = jnp.concatenate([pts, rgb], axis=-1)
+                kp_vars = self._kp_model.init(k3, x)
+            else:
+                kp_vars = self._kp_model.init(k3, svox.feats, slevels)
             return {
                 "segmentation": self._seg_model.init(k1, svox.feats, slevels),
                 "rotation": self._rot_model.init(k2, svox.feats, slevels),
-                "key_points": self._kp_model.init(k3, svox.feats, slevels),
+                "key_points": kp_vars,
             }
 
         return init_all(key, pts, rgb, mask)
@@ -256,8 +273,61 @@ class InferenceEngine:
         pos, _ = jax.vmap(predict_translation)(ee_pts, ee_valid, q)
         return jnp.concatenate([pos, q], axis=-1)
 
+    def _kp_stage_dense(self, params, ee_pts, ee_rgb, ee_valid):
+        """Dense keypoint path (predict_key_points :512-537, pointnet2):
+        fixed-size sample -> PointNet2SSG -> per-class softmax-max -> Kabsch.
+
+        Sampling is uniform (deterministic PRNG — the reference uses
+        np.random.choice) or farthest-point per ``kp_sampling_method``.
+        Items with fewer valid points than ``num_of_dense_input_points``
+        yield kp_found = False everywhere (the reference returns empty).
+        """
+        cfg = self.cfg
+        nd = cfg.num_of_dense_input_points
+        b = ee_pts.shape[0]
+        if cfg.kp_center_at_origin:
+            kp_pts, _ = center_at_origin(ee_pts, mask=ee_valid)
+        else:
+            kp_pts = ee_pts
+        if cfg.kp_use_coordinates_as_features:
+            from ..geometry.preprocess import normalize_points
+
+            feats = normalize_points(kp_pts, mask=ee_valid)
+        else:
+            feats = ee_rgb
+
+        if cfg.kp_sampling_method == "farthest":
+            from ..ops.points import farthest_point_sample
+
+            # park invalid rows on the first point (distance 0: never chosen
+            # while real points remain)
+            anchor = kp_pts[:, :1]
+            fps_in = jnp.where(ee_valid[..., None], kp_pts, anchor)
+            order = farthest_point_sample(fps_in, nd)           # [B, nd]
+        else:
+            r = jax.random.uniform(jax.random.PRNGKey(0), (b, ee_pts.shape[1]))
+            r = jnp.where(ee_valid, r, 2.0)                     # invalid last
+            order = jnp.argsort(r, axis=-1)[:, :nd].astype(jnp.int32)
+
+        take = lambda a: jnp.take_along_axis(a, order[..., None], axis=1)
+        x = jnp.concatenate([take(kp_pts), take(feats)], axis=-1)
+        logits, _ = self._kp_model.apply(params, x)             # [B, nd, K]
+        s_valid = jnp.take_along_axis(ee_valid, order, axis=1)
+        kp_idx_s, kp_found, kp_conf = jax.vmap(
+            partial(key_point_predictions,
+                    conf_threshold=cfg.kp_conf_threshold)
+        )(logits.astype(jnp.float32), s_valid)
+        enough = ee_valid.sum(axis=-1) >= nd                    # :513
+        kp_found = kp_found & enough[:, None]
+        kp_idx = jnp.take_along_axis(order, kp_idx_s, axis=1)   # sample->ee
+        kp_coords = jnp.take_along_axis(ee_pts, kp_idx[..., None], axis=1)
+        kp_pose, kp_ok = jax.vmap(pose_from_key_points)(kp_coords, kp_found)
+        return kp_pose, kp_ok, kp_coords, kp_found, kp_conf
+
     def _kp_stage(self, params, ee_pts, ee_rgb, ee_valid):
         """Keypoint net + Kabsch solve (predict_key_points :491, sparse)."""
+        if self._kp_dense:
+            return self._kp_stage_dense(params, ee_pts, ee_rgb, ee_valid)
         cfg = self.cfg
         if cfg.kp_center_at_origin:
             kp_pts, _ = center_at_origin(ee_pts, mask=ee_valid)

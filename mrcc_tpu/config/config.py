@@ -183,6 +183,12 @@ class Config:
             kp_conf_threshold=kp.get("conf_threshold", 0.75),
             num_of_keypoints=kp.get("num_of_keypoints", 6),
             kp_error_margin=kp.get("error_margin", 0.05),
+            kp_sampling_method=kp.get("pointcloud_sampling_method",
+                                      "uniform"),
+            kp_use_coordinates_as_features=kp.get(
+                "use_coordinates_as_features", False),
+            num_of_dense_input_points=inf.get("num_of_dense_input_points",
+                                              2048),
             ee_point_counts_threshold=inf.get("ee_point_counts_threshold",
                                               512),
             icp_enabled=inf.get("icp_enabled", True),

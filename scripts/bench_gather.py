@@ -110,6 +110,9 @@ def s2_onehot(feats, idx, hit, w):
 
 
 # ---------------------------------------------------------------- S4
+KP = 32  # K padded to a sublane multiple for Pallas block shapes
+
+
 def make_s4(n, cin, cout, t=128, win=512):
     n_t = n // t
 
@@ -121,8 +124,8 @@ def make_s4(n, cin, cout, t=128, win=512):
         for k in range(K):
             st = pl.multiple_of(starts_ref[k * B * n_t + b * n_t + ti], 8)
             window = feats_ref[0, pl.ds(st, win), :]
-            local = idx_ref[k, 0, :] - st
-            h = hit_ref[k, 0, :]
+            local = idx_ref[0, 0, k, :] - st
+            h = hit_ref[0, 0, k, :]
             oh = ((local[:, None] == iota_w) & (h[:, None] != 0)
                   ).astype(window.dtype)
             g = jnp.dot(oh, window, preferred_element_type=jnp.float32)
@@ -134,13 +137,13 @@ def make_s4(n, cin, cout, t=128, win=512):
         num_scalar_prefetch=1,
         grid=(B, n_t),
         in_specs=[
-            pl.BlockSpec((K, 1, t), lambda b, ti, starts: (0, b, ti),
+            pl.BlockSpec((1, 1, KP, t), lambda b, ti, starts: (b, ti, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, 1, t), lambda b, ti, starts: (0, b, ti),
+            pl.BlockSpec((1, 1, KP, t), lambda b, ti, starts: (b, ti, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n, cin), lambda b, ti, starts: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, cin, cout), lambda b, ti, starts: (0, 0, 0),
+            pl.BlockSpec((KP, cin, cout), lambda b, ti, starts: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, t, cout), lambda b, ti, starts: (b, ti, 0),
@@ -156,10 +159,29 @@ def make_s4(n, cin, cout, t=128, win=512):
         # per (k, b, tile) window start: aligned down to 8, clamped to fit
         starts = idx[:, :, ::t]
         starts = jnp.minimum(starts - (starts % 8), n - win).astype(jnp.int32)
-        return call(starts.reshape(-1), idx, hit.astype(jnp.int32), feats,
-                    w.astype(feats.dtype))
+        # [K, B, N] -> [B, n_t, KP, t] (sublane-friendly block layout)
+        def to_tiles(a):
+            a = a.reshape(K, B, n_t, t).transpose(1, 2, 0, 3)
+            return jnp.pad(a, ((0, 0), (0, 0), (0, KP - K), (0, 0)))
+
+        return call(starts.reshape(-1), to_tiles(idx),
+                    to_tiles(hit.astype(jnp.int32)), feats,
+                    jnp.pad(w, ((0, KP - K), (0, 0), (0, 0))
+                            ).astype(feats.dtype))
 
     return core
+
+
+# ---------------------------------------------------------------- S7
+def s7_bigtake(feats, idx, hit, w):
+    """ONE gather + ONE fused GEMM for all 27 offsets (minimal op count)."""
+    k, b, n = idx.shape
+    big = idx.transpose(1, 0, 2).reshape(b, k * n)
+    g = jnp.take_along_axis(feats, big[..., None], axis=1)  # [B, K*N, C]
+    g = g.reshape(b, k, n, -1)
+    g = jnp.where(hit.transpose(1, 0, 2)[..., None], g, 0)
+    return jnp.einsum("bknc,kcd->bnd", g, w.astype(feats.dtype),
+                      preferred_element_type=jnp.float32)
 
 
 # ---------------------------------------------------------------- S6
@@ -192,8 +214,9 @@ def main():
             ("S1_take_bf16", s1_take, feats_bf),
             ("S2_onehot_bf16", s2_onehot, feats_bf),
             ("S4_pallas_win_bf16", make_s4(n, cin, cout), feats_bf),
-            ("S4_pallas_win_f32", make_s4(n, cin, cout), jnp.asarray(feats)),
             ("S6_gemm_floor_bf16", s6_gemm_floor, feats_bf),
+            ("S7_bigtake_bf16", s7_bigtake, feats_bf),
+            ("S7_bigtake_f32", s7_bigtake, jnp.asarray(feats)),
         ]
         print(f"\n== {name}: N={n} Cin={cin} Cout={cout} B={B} K={K} "
               f"({rows/1e6:.2f}M rows, {gemm_gflop:.1f} GEMM-GFLOP/conv)")

@@ -124,3 +124,52 @@ class TestOracleSegmentation:
         m = compute_pose_metrics(gt, refined)
         assert float(m["dist_position"]) < 0.02
         assert float(m["angle_diff"]) < 0.2
+
+
+class TestDenseKeypointPath:
+    """The pointnet2 (dense) keypoint route of the engine
+    (reference predict_key_points :512-537)."""
+
+    @pytest.fixture(scope="class", params=["uniform", "farthest"])
+    def dense_engine(self, request):
+        cfg = InferenceConfig(
+            point_capacity=4096,
+            seg_voxel_capacity=2048,
+            ee_point_capacity=1024,
+            ee_voxel_capacity=1024,
+            kp_voxel_capacity=512,
+            seg_backbone="minkunet14A",
+            rot_backbone="minkunet14A",
+            kp_backbone="pointnet2",
+            kp_sampling_method=request.param,
+            num_of_dense_input_points=128,
+            icp_iterations=5,
+            icp_template_points=256,
+            ee_point_counts_threshold=64,
+            sanity_min_num_of_ee_points=128,
+        )
+        return InferenceEngine(cfg, seed=0)
+
+    def test_dense_predict_shapes(self, dense_engine):
+        data = SyntheticDataEngine(seed=3, n_ee=700, n_arm=900,
+                                   n_bg=1200).get()
+        result = dense_engine.predict(data)
+        assert len(result.segmentation) == len(data.points)
+        # keypoint coords (if any) must be actual scene points
+        for cls, coord in result.key_points:
+            assert 0 <= cls < 6
+            assert np.isfinite(coord).all()
+
+    def test_dense_kp_found_requires_enough_points(self, dense_engine):
+        import jax.numpy as jnp
+
+        # EE crop with fewer valid points than num_of_dense_input_points
+        pts = np.random.default_rng(0).normal(
+            size=(1, 1024, 3)).astype(np.float32) * 0.05
+        rgb = np.zeros((1, 1024, 3), np.float32)
+        valid = np.zeros((1, 1024), bool)
+        valid[0, :64] = True  # < 128 dense input points
+        _, _, _, kp_found, _ = dense_engine._kp_jit(
+            dense_engine.params["key_points"], jnp.asarray(pts),
+            jnp.asarray(rgb), jnp.asarray(valid))
+        assert not np.asarray(kp_found).any()
