@@ -177,8 +177,7 @@ def _train_key_points_dense(cfg, data_cfg, train_cfg, epochs):
 
     from ..models.pointnet2 import PointNet2SSG
     from ..train.losses import segmentation_loss
-    from ..train.trainer import TrainState, make_optimizer, step_learning_rate
-    from ..train import checkpoint as ckpt
+    from ..train.trainer import TrainState, make_optimizer
 
     n_pts = cfg()["DATA"].get("num_of_dense_input_points", 2048)
     ds_train, ds_val = make_datasets(cfg, data_cfg, dense=True)
@@ -201,7 +200,6 @@ def _train_key_points_dense(cfg, data_cfg, train_cfg, epochs):
                        batch_stats=variables["batch_stats"],
                        opt_state=optimizer.init(variables["params"]))
     exp_name = exp_name_of(cfg)
-    state, start_epoch = ckpt.checkpoint_restore(state, cfg.exp_path, exp_name)
 
     @jax.jit
     def step(state, batch, lr):
@@ -226,22 +224,9 @@ def _train_key_points_dense(cfg, data_cfg, train_cfg, epochs):
                              batch_stats=updates["batch_stats"],
                              opt_state=opt_state), {"loss": loss}
 
-    history = []
-    for epoch in range(start_epoch + 1, (epochs or train_cfg.epochs) + 1):
-        lr = step_learning_rate(train_cfg.lr, epoch, train_cfg.step_epoch,
-                                train_cfg.multiplier)
-        losses = []
-        for batch in ds_train.batches(train_cfg.batch_size, shuffle=True,
-                                      seed=train_cfg.seed + epoch):
-            batch = {k: jnp.asarray(v) for k, v in batch.items()
-                     if k != "others"}
-            state, m = step(state, batch, lr)
-            losses.append(float(m["loss"]))
-        history.append({"loss": float(np.mean(losses)) if losses else None})
-        if ckpt.is_multiple(epoch, train_cfg.save_freq) or ckpt.is_power2(epoch):
-            ckpt.checkpoint_save(state, cfg.exp_path, exp_name, epoch,
-                                 save_freq=train_cfg.save_freq)
-    return history
+    trainer = Trainer(model, ds_train, step, optimizer, train_cfg,
+                      exp_path=cfg.exp_path, exp_name=exp_name, state=state)
+    return trainer.fit(epochs=epochs)
 
 
 def train_kp_to_pose(cfg: Config = None, epochs=None):
@@ -257,8 +242,7 @@ def train_kp_to_pose(cfg: Config = None, epochs=None):
         from ..models.pointnet2 import PointNet, PointNet2SSG
         from ..solve import key_point_predictions
         from ..train.losses import LossConfig, LossType, get_criterion
-        from ..train.trainer import (TrainState, make_optimizer,
-                                     step_learning_rate)
+        from ..train.trainer import TrainState, make_optimizer
         from ..train import checkpoint as ckpt
 
         data_cfg = cfg.data_config()
@@ -295,8 +279,6 @@ def train_kp_to_pose(cfg: Config = None, epochs=None):
                            batch_stats=pose_vars["batch_stats"],
                            opt_state=optimizer.init(pose_vars["params"]))
         exp_name = exp_name_of(cfg)
-        state, start_epoch = ckpt.checkpoint_restore(state, cfg.exp_path,
-                                                     exp_name)
 
         @jax.jit
         def step(state, batch, lr):
@@ -331,23 +313,10 @@ def train_kp_to_pose(cfg: Config = None, epochs=None):
                                  batch_stats=updates["batch_stats"],
                                  opt_state=opt_state), {"loss": loss}
 
-        history = []
-        for epoch in range(start_epoch + 1, (epochs or train_cfg.epochs) + 1):
-            lr = step_learning_rate(train_cfg.lr, epoch, train_cfg.step_epoch,
-                                    train_cfg.multiplier)
-            losses = []
-            for batch in ds_train.batches(train_cfg.batch_size, shuffle=True,
-                                          seed=train_cfg.seed + epoch):
-                batch = {kk: jnp.asarray(v) for kk, v in batch.items()
-                         if kk != "others"}
-                state, m = step(state, batch, lr)
-                losses.append(float(m["loss"]))
-            history.append({"loss": float(np.mean(losses)) if losses else None})
-            if (ckpt.is_multiple(epoch, train_cfg.save_freq)
-                    or ckpt.is_power2(epoch)):
-                ckpt.checkpoint_save(state, cfg.exp_path, exp_name, epoch,
-                                     save_freq=train_cfg.save_freq)
-        return history
+        trainer = Trainer(pose_model, ds_train, step, optimizer, train_cfg,
+                          exp_path=cfg.exp_path, exp_name=exp_name,
+                          state=state)
+        return trainer.fit(epochs=epochs)
 
     return _retry(main, cfg)
 
@@ -368,8 +337,7 @@ def train_feature_extractor(cfg: Config = None, epochs=None):
         from ..models.featurenet import FeatureNet
         from ..sparse import build_hierarchy, voxelize
         from ..train.metric_learning import triplet_margin_loss
-        from ..train.trainer import (TrainState, make_optimizer,
-                                     step_learning_rate)
+        from ..train.trainer import TrainState, make_optimizer
         from ..train import checkpoint as ckpt
 
         train_cfg = cfg.train_config()
@@ -391,8 +359,6 @@ def train_feature_extractor(cfg: Config = None, epochs=None):
                            batch_stats=variables["batch_stats"],
                            opt_state=optimizer.init(variables["params"]))
         exp_name = exp_name_of(cfg)
-        state, start_epoch = ckpt.checkpoint_restore(state, cfg.exp_path,
-                                                     exp_name)
 
         @jax.jit
         def step(state, batch, lr):
@@ -416,21 +382,15 @@ def train_feature_extractor(cfg: Config = None, epochs=None):
                                  batch_stats=updates["batch_stats"],
                                  opt_state=opt_state), {"loss": loss}
 
-        history = []
-        for epoch in range(start_epoch + 1, (epochs or train_cfg.epochs) + 1):
-            lr = step_learning_rate(train_cfg.lr, epoch, train_cfg.step_epoch,
-                                    train_cfg.multiplier)
-            losses = []
-            for batch in ds.batches(max(train_cfg.batch_size, 8),
-                                    shuffle=True, seed=epoch):
-                batch = {k: jnp.asarray(v) for k, v in batch.items()}
-                state, m = step(state, batch, lr)
-                losses.append(float(m["loss"]))
-            history.append({"loss": float(np.mean(losses)) if losses else None})
-            if (ckpt.is_multiple(epoch, train_cfg.save_freq)
-                    or ckpt.is_power2(epoch)):
-                ckpt.checkpoint_save(state, cfg.exp_path, exp_name, epoch,
-                                     save_freq=train_cfg.save_freq)
-        return history
+        import dataclasses
+
+        # the reference trains metric learning with larger batches (pair
+        # mining needs in-batch positives)
+        train_cfg = dataclasses.replace(
+            train_cfg, batch_size=max(train_cfg.batch_size, 8))
+        trainer = Trainer(model, ds, step, optimizer, train_cfg,
+                          exp_path=cfg.exp_path, exp_name=exp_name,
+                          state=state)
+        return trainer.fit(epochs=epochs)
 
     return _retry(main, cfg)

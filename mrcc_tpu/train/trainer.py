@@ -213,7 +213,12 @@ class Trainer:
     def __init__(self, model, dataset, step_fn, optimizer,
                  train_cfg: TrainConfig, exp_path="exp/default",
                  exp_name="default", val_dataset=None, mesh=None,
-                 init_batch=None):
+                 init_batch=None, state=None):
+        """``state``: a pre-built TrainState for models whose init does not
+        fit the standard voxelize-path (dense PointNet2, two-model
+        pipelines, metric learning).  Checkpoint restore still applies —
+        only the *construction* of the initial state is custom; the epoch
+        loop, lr schedule, metrics and retention are shared."""
         self.model = model
         self.dataset = dataset
         self.val_dataset = val_dataset
@@ -224,7 +229,13 @@ class Trainer:
         self.exp_name = exp_name
         self.mesh = mesh
         self.writer = MetricsWriter(exp_path)
-        self.state = self._init_state(init_batch)
+        self.state = (self._restore(state) if state is not None
+                      else self._init_state(init_batch))
+
+    def _restore(self, state):
+        state, epoch = ckpt.checkpoint_restore(state, self.exp_path,
+                                               self.exp_name)
+        return state.replace(epoch=epoch)
 
     def _init_state(self, batch):
         if batch is None:
