@@ -86,6 +86,10 @@ class InferenceConfig:
     kp_checkpoint: typing.Optional[str] = None
 
     compute_dtype: str = "bfloat16"  # conv-path compute (f32 accumulation)
+    # sparse-conv implementation: 'auto' = Pallas windowed gather-GEMM on
+    # TPU (ops/conv_pallas.py), XLA gathers elsewhere; or force
+    # 'pallas'/'xla'
+    conv_impl: str = "auto"
     ee_point_counts_threshold: int = 512
     icp_enabled: bool = True
     icp_iterations: int = 30
@@ -140,10 +144,27 @@ class InferenceEngine:
         # stay on device between stages, so no host round-trips.
         # params are ARGUMENTS (not closures): closed-over arrays embed as
         # HLO constants, which breaks remote compilation on large models.
-        self._seg_jit = jax.jit(self._seg_stage)
-        self._pose_jit = jax.jit(self._pose_stage)
-        self._kp_jit = jax.jit(self._kp_stage)
+        if cfg.conv_impl == "auto":
+            # Pallas kernel is forward-only and not mesh-partitioned yet
+            self._conv_impl = ("pallas" if jax.default_backend() == "tpu"
+                               and mesh is None else "xla")
+        else:
+            self._conv_impl = cfg.conv_impl
+        self._seg_jit = jax.jit(self._with_impl(self._seg_stage))
+        self._pose_jit = jax.jit(self._with_impl(self._pose_stage))
+        self._kp_jit = jax.jit(self._with_impl(self._kp_stage))
         self._icp_jit = jax.jit(self._icp_stage)
+
+    def _with_impl(self, fn):
+        """Bind the conv implementation at TRACE time (jit caches the traced
+        graph, so the context only needs to be live during tracing)."""
+        from ..sparse.conv import conv_impl as _conv_impl_ctx
+
+        def wrapped(*args, **kwargs):
+            with _conv_impl_ctx(self._conv_impl):
+                return fn(*args, **kwargs)
+
+        return wrapped
 
     # ------------------------------------------------------------- params
 

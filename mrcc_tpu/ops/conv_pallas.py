@@ -1,0 +1,211 @@
+"""Pallas windowed gather-GEMM sparse convolution (the TPU hot kernel).
+
+Replaces the XLA take_along_axis gathers of ``mrcc_tpu.sparse.conv``
+(27 per k=3 conv), which run at ~10-15 ns/row on TPU — ~100x off roofline —
+and cost one serialized HLO op each (~90 us/op measured on this runtime).
+
+Key structural fact exploited: kernel-map indices are MONOTONE.  Neighbour
+tables come from ``searchsorted(sorted_keys, sorted_keys + delta)``
+(sparse/hierarchy.py), so for every kernel offset k, ``idx[k, b, :]`` is
+non-decreasing.  A tile of T consecutive output rows therefore reads from a
+narrow contiguous window of input rows (average width ~T), which this
+kernel DMA-slices out of a VMEM-resident feature table and gathers with a
+one-hot matmul on the MXU:
+
+  for each offset k:   g_k = onehot(idx_k - start_k) @ feats[start_k : +W]
+  out_tile = concat_k(g_k) @ concat_k(W_k)          (ONE big MXU GEMM)
+
+The per-offset dots are independent (no accumulation chain — they write
+disjoint slices of a scratch buffer), so the MXU pipelines them at
+throughput rather than latency.  Exactness is unconditional: tiles whose
+index span exceeds W loop over as many additional window chunks as needed
+(dynamic fori_loop; chunk membership is disjoint by construction).
+
+Weight/VMEM budget: offsets are processed in groups of KG (sized so the
+[T, KG*C] scratch and [KG*C, Cout] weight block fit VMEM); the output tile
+is revisited across groups and accumulated in place.
+
+One pallas_call per convolution = ONE HLO op for what was ~110.
+
+Reference semantics matched: ME.MinkowskiConvolution kernel maps
+(minkunet.py:55-121) — oracle-tested against sparse/conv.py in
+tests/test_conv_pallas.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def _choose_kg(k: int, cin: int) -> int:
+    """Offset-group size: keep KG*Cin lanes around <=2048 (VMEM budget)."""
+    kg = max(1, min(k, 2048 // max(cin, 1)))
+    return kg
+
+
+def _pick_tile(n: int) -> int:
+    for t in (128, 64, 32, 16, 8):
+        if n % t == 0 and n >= t:
+            return t
+    return 0
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("t", "w", "kg", "n_out", "cout", "out_dtype"))
+def _gather_gemm_call(idx_t, hit_t, starts, nchunks, feats, w_grp,
+                      t, w, kg, n_out, cout, out_dtype):
+    """The pallas_call wrapper (all shapes static).
+
+    idx_t/hit_t: [B, nt, KP, T] int32 (KP = n_groups*kg, zero-padded).
+    starts/nchunks: [KP*B*nt] int32 scalar-prefetch (window start, aligned
+      down to 8 and clamped to [0, N-W]; number of W-chunks covering the
+      tile's hit-index span).
+    feats: [B, N, C] (bf16/f32).
+    w_grp: [n_groups, kg*C, Cout] (feats dtype).
+    Returns [B, n_out, Cout] float32.
+    """
+    b, n, c = feats.shape
+    nt = n_out // t
+    n_kg = w_grp.shape[0]
+    kp = n_kg * kg
+
+    def kernel(starts_ref, nchunks_ref, idx_ref, hit_ref, feats_ref, w_ref,
+               out_ref, gall_ref):
+        bi = pl.program_id(0)
+        ti = pl.program_id(1)
+        kgi = pl.program_id(2)
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (t, w), 1)
+
+        for j in range(kg):
+            k = kgi * kg + j
+            flat = (k * pl.num_programs(0) + bi) * nt + ti
+            st = starts_ref[flat]
+            nch = nchunks_ref[flat]
+            local0 = idx_ref[0, 0, k, :] - st            # [T]
+            hit = hit_ref[0, 0, k, :]
+            # chunk 0: rows with local0 in [0, W) — enforced by the equality
+            base = (local0[:, None] == iota_w) & (hit[:, None] != 0)
+            window0 = feats_ref[0, pl.ds(pl.multiple_of(st, 8), w), :]
+            g = jnp.dot(base.astype(window0.dtype), window0,
+                        preferred_element_type=jnp.float32)
+
+            def chunk_body(ci, acc):
+                # chunk ci owns rows with local0 in [ci*W, (ci+1)*W) — a
+                # disjoint partition of the span, so clamped (overlapping)
+                # physical windows can never double-count a row
+                wst = jnp.minimum(st + ci * w, n - w)
+                lo = local0[:, None] - (wst - st)  # idx - wst
+                oh = ((lo == iota_w) & (hit[:, None] != 0)
+                      & (local0[:, None] >= ci * w)
+                      & (local0[:, None] < (ci + 1) * w))
+                win = feats_ref[0, pl.ds(wst, w), :]
+                return acc + jnp.dot(oh.astype(win.dtype), win,
+                                     preferred_element_type=jnp.float32)
+
+            g = jax.lax.fori_loop(1, nch, chunk_body, g)
+            gall_ref[:, j * c:(j + 1) * c] = g.astype(gall_ref.dtype)
+
+        contrib = jnp.dot(gall_ref[:, :].astype(w_ref.dtype), w_ref[0],
+                          preferred_element_type=jnp.float32)
+
+        @pl.when(kgi == 0)
+        def _():
+            out_ref[0, :, :] = contrib
+
+        @pl.when(kgi != 0)
+        def _():
+            out_ref[0, :, :] = out_ref[0, :, :] + contrib
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, nt, n_kg),
+        in_specs=[
+            pl.BlockSpec((1, 1, kp, t), lambda bi, ti, kgi, s1, s2:
+                         (bi, ti, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, kp, t), lambda bi, ti, kgi, s1, s2:
+                         (bi, ti, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, c), lambda bi, ti, kgi, s1, s2: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kg * c, cout), lambda bi, ti, kgi, s1, s2:
+                         (kgi, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, t, cout), lambda bi, ti, kgi, s1, s2:
+                               (bi, ti, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((t, kg * c), feats.dtype)],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, n_out, cout), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=_interpret(),
+    )(starts, nchunks, idx_t, hit_t, feats, w_grp)
+
+
+def gather_gemm_conv(feats, weights, nbr_idx, nbr_hit, out_valid, bias=None,
+                     t=None, w_width=None):
+    """Sparse conv via the Pallas windowed kernel.
+
+    Drop-in equivalent of ``sparse.conv.conv_kernel_map`` (same arguments /
+    semantics): out[i] = sum_k hit[k,i] * feats[idx[k,i]] @ W[k].
+
+    Falls back to None (caller should use the XLA path) when shapes are
+    unsuitable — callers use :func:`supported`.
+    """
+    k, b, n_out = nbr_idx.shape
+    _, n, c = feats.shape
+    cout = weights.shape[-1]
+    t = t or _pick_tile(n_out)
+    w_width = w_width or min(max(2 * t, 128), n)
+    nt = n_out // t
+
+    kg = _choose_kg(k, c)
+    n_kg = -(-k // kg)
+    kp = n_kg * kg
+
+    # --- tiled index layout + per-(k, b, tile) window scalars (XLA side;
+    # identical subgraphs across convs on one level are CSE'd) ---
+    idx_r = nbr_idx.reshape(k, b, nt, t)
+    hit_r = nbr_hit.reshape(k, b, nt, t)
+    lo = jnp.where(hit_r, idx_r, n - 1).min(axis=-1)      # [k, b, nt]
+    hi = jnp.where(hit_r, idx_r, 0).max(axis=-1)
+    starts = jnp.minimum(lo - (lo % 8), jnp.maximum(n - w_width, 0))
+    starts = jnp.maximum(starts, 0)
+    span = jnp.maximum(hi - starts, 0)
+    nchunks = span // w_width + 1
+
+    def pad_k(a):
+        return jnp.pad(a, ((0, kp - k),) + ((0, 0),) * (a.ndim - 1))
+
+    idx_t = pad_k(idx_r).transpose(1, 2, 0, 3)            # [B, nt, KP, T]
+    hit_t = pad_k(hit_r.astype(jnp.int32)).transpose(1, 2, 0, 3)
+    starts_f = pad_k(starts).reshape(-1).astype(jnp.int32)
+    nchunks_f = jnp.maximum(pad_k(nchunks), 1).reshape(-1).astype(jnp.int32)
+
+    w_grp = jnp.pad(weights.astype(feats.dtype), ((0, kp - k), (0, 0), (0, 0))
+                    ).reshape(n_kg, kg * c, cout)
+
+    out = _gather_gemm_call(idx_t, hit_t, starts_f, nchunks_f, feats, w_grp,
+                            t=t, w=w_width, kg=kg, n_out=n_out, cout=cout,
+                            out_dtype=jnp.float32)
+    out = out.astype(feats.dtype)
+    if bias is not None:
+        out = out + bias.astype(feats.dtype)
+    return jnp.where(out_valid[..., None], out, 0)
+
+
+def supported(nbr_idx, feats) -> bool:
+    """Whether the Pallas kernel handles these shapes (else use XLA path)."""
+    n_out = nbr_idx.shape[-1]
+    n = feats.shape[-2]
+    return _pick_tile(n_out) >= 8 and n >= 8

@@ -12,8 +12,38 @@ Weight layout: ``[K, Cin, Cout]`` with K = 27 (k=3 s=1), 8 (k=2 s=2) or 1.
 
 from __future__ import annotations
 
+import contextlib
+
 import jax
 import jax.numpy as jnp
+
+# Convolution implementation selector (trace-time):
+#   "xla"    — scan of take_along_axis gathers + GEMMs (differentiable;
+#              the training path).
+#   "pallas" — ops/conv_pallas.py windowed gather-GEMM kernel (ONE HLO op
+#              per conv, MXU one-hot gathers; forward-only — used by the
+#              inference engine on TPU).
+_CONV_IMPL = "xla"
+
+
+@contextlib.contextmanager
+def conv_impl(name: str):
+    """Select the conv implementation for code traced inside this scope."""
+    global _CONV_IMPL
+    assert name in ("xla", "pallas"), name
+    old, _CONV_IMPL = _CONV_IMPL, name
+    try:
+        yield
+    finally:
+        _CONV_IMPL = old
+
+
+def _pallas_route(feats, nbr_idx):
+    if _CONV_IMPL != "pallas":
+        return False
+    from ..ops import conv_pallas
+
+    return conv_pallas.supported(nbr_idx, feats)
 
 
 def _gather_rows(feats, idx):
@@ -33,6 +63,11 @@ def conv_kernel_map(feats, weights, nbr_idx, nbr_hit, out_valid, bias=None):
       bias: optional [Cout].
     Returns [B, N_out, Cout].
     """
+    if _pallas_route(feats, nbr_idx):
+        from ..ops.conv_pallas import gather_gemm_conv
+
+        return gather_gemm_conv(feats, weights, nbr_idx, nbr_hit, out_valid,
+                                bias=bias)
     cout = weights.shape[-1]
     b, n_out = nbr_idx.shape[1], nbr_idx.shape[2]
     # compute in the feature dtype (bf16 halves gather bandwidth on TPU),
@@ -87,6 +122,19 @@ def conv_transpose_up(feats, weights, coarse_level, fine_level, bias=None):
     slice of the octant the fine voxel occupies:
     ``out[c] = feats[parent(c)] @ W[octant(c)]``.
     """
+    if _pallas_route(feats, fine_level.parent_idx[None]):
+        from ..ops.conv_pallas import gather_gemm_conv
+
+        # as a kernel map: idx_k = parent_idx for every octant k, hit_k
+        # selects the voxels occupying octant k (parent_idx is monotone
+        # since fine keys are sorted)
+        k = weights.shape[0]
+        idx8 = jnp.broadcast_to(fine_level.parent_idx[None],
+                                (k,) + fine_level.parent_idx.shape)
+        hit8 = (fine_level.octant[None] == jnp.arange(k)[:, None, None]
+                ) & fine_level.valid[None]
+        return gather_gemm_conv(feats, weights, idx8, hit8,
+                                fine_level.valid, bias=bias)
     parent_feats = _gather_rows(feats, fine_level.parent_idx)  # [B, Nf, Cin]
     weights = weights.astype(feats.dtype)
     cout = weights.shape[-1]

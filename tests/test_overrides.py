@@ -20,14 +20,15 @@ OVERRIDES_DIR = os.path.join(os.path.dirname(__file__), "..", "mrcc_tpu",
                              "config", "overrides")
 
 
-def cfg_with(tmp_path, name, **tiny_data):
+def cfg_with(tmp_path, name, backbone="minkunet14A", **tiny_data):
     tiny = {
         "DATA": {"file_names": str(tmp_path / "ds" / "sample_splits.json"),
                  "batch_size": 2, "max_npoint": 2048,
                  "num_of_dense_input_points": 128, **tiny_data},
-        "STRUCTURE": {"backbone": "minkunet14A"},
         "TRAIN": {"epochs": 1},
     }
+    if backbone is not None:  # None = keep the experiment's own backbone
+        tiny["STRUCTURE"] = {"backbone": backbone}
     tiny_path = tmp_path / "tiny.yaml"
     tiny_path.write_text(yaml.safe_dump(tiny))
     return Config(
@@ -66,7 +67,7 @@ class TestOverrideReproductions:
     def test_kp_to_pose(self, tmp_path):
         from mrcc_tpu.cli.train_mains import train_kp_to_pose
 
-        cfg = cfg_with(tmp_path, "override_kp_to_pose.yaml")
+        cfg = cfg_with(tmp_path, "override_kp_to_pose.yaml", backbone=None)
         assert cfg()["TRAIN"]["loss_type"] == "kp_pose_match"
         assert cfg()["STRUCTURE"]["backbone"] == "pointnet2"
         hist = train_kp_to_pose(cfg, epochs=1)
@@ -126,15 +127,18 @@ class TestOverrideReproductions:
         # the engine's seg weights ARE the trained checkpoint's weights
         with open(ckpt_path, "rb") as f:
             raw = flax.serialization.msgpack_restore(f.read())
-        a = np.asarray(next(iter(
-            raw["params"][next(iter(raw["params"]))].values()))).ravel()
 
-        def leaves(d):
-            for v in d.values():
+        def leaves(d, prefix=()):
+            for k, v in d.items():
                 if isinstance(v, dict):
-                    yield from leaves(v)
+                    yield from leaves(v, prefix + (k,))
                 else:
-                    yield np.asarray(v)
+                    yield prefix + (k,), np.asarray(v)
 
-        flats = [leaf.ravel() for leaf in leaves(engine.params["segmentation"]["params"])]
-        assert any(a.shape == f.shape and np.allclose(a, f) for f in flats)
+        ckpt_leaves = dict(leaves(raw["params"]))
+        eng_leaves = dict(leaves(engine.params["segmentation"]["params"]))
+        assert set(ckpt_leaves) == set(eng_leaves)
+        for path in ckpt_leaves:
+            np.testing.assert_allclose(ckpt_leaves[path],
+                                       np.asarray(eng_leaves[path]),
+                                       err_msg="/".join(path))
