@@ -63,6 +63,12 @@ class InferenceConfig:
     rot_encode_only: bool = True
     rot_scale: float = 200.0
     rot_center_at_origin: bool = True
+    # confidence heads (STRUCTURE.compute_confidence): rotation net emits
+    # 10 channels — pose[7] + sigmoid(conf_pos, conf_rot, conf)
+    # (robotnet.py:79, utils/loss.py:74-116); the combined head gates
+    # is_confident alongside the geometric sanity check
+    compute_confidence: bool = False
+    confidence_threshold: float = 0.5
 
     kp_backbone: str = "minkunet"         # sparse path; 'pointnet2' = dense
     kp_scale: float = 800.0
@@ -123,7 +129,8 @@ class InferenceEngine:
             backbone=cfg.seg_backbone, in_channels=3,
             num_classes=cfg.num_classes)
         self._rot_model = RobotNetEncode(
-            backbone=cfg.rot_backbone, in_channels=3, out_channels=7)
+            backbone=cfg.rot_backbone, in_channels=3,
+            out_channels=10 if cfg.compute_confidence else 7)
         self._kp_dense = cfg.kp_backbone == "pointnet2"
         if self._kp_dense:
             from ..models import PointNet2SSG
@@ -292,7 +299,12 @@ class InferenceEngine:
                                         train=False).astype(jnp.float32)
         q = rot_out[:, 3:7]
         pos, _ = jax.vmap(predict_translation)(ee_pts, ee_valid, q)
-        return jnp.concatenate([pos, q], axis=-1)
+        # confidences (already sigmoided by the model head) or ones
+        if rot_out.shape[-1] > 7:
+            conf = rot_out[:, 7:10]
+        else:
+            conf = jnp.ones((rot_out.shape[0], 3), jnp.float32)
+        return jnp.concatenate([pos, q], axis=-1), conf
 
     def _kp_stage_dense(self, params, ee_pts, ee_rgb, ee_valid):
         """Dense keypoint path (predict_key_points :512-537, pointnet2):
@@ -403,8 +415,8 @@ class InferenceEngine:
                 self._params_replicated = True
         seg, ee_count, ee_pts, ee_rgb, ee_valid = self._seg_jit(
             self.params["segmentation"], points, rgb, mask)
-        ee_pose = self._pose_jit(self.params["rotation"], ee_pts, ee_rgb,
-                                 ee_valid)
+        ee_pose, rot_conf = self._pose_jit(self.params["rotation"], ee_pts,
+                                           ee_rgb, ee_valid)
         kp_pose, kp_ok, kp_coords, kp_found, kp_conf = self._kp_jit(
             self.params["key_points"], ee_pts, ee_rgb, ee_valid)
         if self.cfg.icp_enabled:
@@ -414,6 +426,7 @@ class InferenceEngine:
             "segmentation": seg,
             "ee_count": ee_count,
             "ee_pose": ee_pose,
+            "rot_conf": rot_conf,
             "kp_pose": kp_pose,
             "kp_ok": kp_ok,
             "kp_coords": kp_coords,
@@ -482,8 +495,15 @@ class InferenceEngine:
             for k in range(self.cfg.num_of_keypoints) if found[k]
         ]
         result.key_points_pose = out["kp_pose"][0] if bool(out["kp_ok"][0]) else None
+        result.confidence = float(out["rot_conf"][0][2])
 
         result.is_confident = self.check_sanity(data, result)
+        if self.cfg.compute_confidence:
+            # learned combined-confidence head gates alongside the
+            # geometric sanity check
+            result.is_confident = (result.is_confident and
+                                   result.confidence
+                                   > self.cfg.confidence_threshold)
 
         if data.ee2base_pose is not None:
             if result.ee_pose is not None:

@@ -177,6 +177,8 @@ class Config:
             rot_encode_only=rot.get("encode_only", True),
             rot_scale=rot.get("scale", 200),
             rot_center_at_origin=rot.get("center_at_origin", True),
+            compute_confidence=self._data.get("STRUCTURE", {}).get(
+                "compute_confidence", False),
             kp_backbone=_norm_backbone(kp.get("backbone", "minkunet")),
             kp_scale=kp.get("scale", 800),
             kp_center_at_origin=kp.get("center_at_origin", True),

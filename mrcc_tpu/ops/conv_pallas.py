@@ -104,7 +104,8 @@ def _gather_gemm_call(idx_t, hit_t, starts, nchunks, feats, w_grp,
                 # chunk ci owns rows with local0 in [ci*W, (ci+1)*W) — a
                 # disjoint partition of the span, so clamped (overlapping)
                 # physical windows can never double-count a row
-                wst = jnp.minimum(st + ci * w, n - w)
+                # st, ci*w and n-w are all multiples of 8 — hint Mosaic
+                wst = pl.multiple_of(jnp.minimum(st + ci * w, n - w), 8)
                 lo = local0[:, None] - (wst - st)  # idx - wst
                 oh = ((lo == iota_w) & (hit[:, None] != 0)
                       & (local0[:, None] >= ci * w)

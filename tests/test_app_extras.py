@@ -147,3 +147,56 @@ class TestAruco:
             pytest.skip("cv2 aruco failed to detect the synthetic tag")
         # tag centre is at (0,0,1)
         np.testing.assert_allclose(pose[:3], [0, 0, 1], atol=0.02)
+
+
+class TestConfidenceHeads:
+    """Confidence-gated is_confident (STRUCTURE.compute_confidence)."""
+
+    def test_confidence_gates_is_confident(self):
+        import dataclasses
+
+        import numpy as np
+
+        from mrcc_tpu.app import InferenceConfig, InferenceEngine
+        from mrcc_tpu.app import SyntheticDataEngine
+
+        cfg = InferenceConfig(
+            point_capacity=2048, seg_voxel_capacity=512,
+            ee_point_capacity=256, ee_voxel_capacity=256,
+            kp_voxel_capacity=256, seg_backbone="minkunet14A",
+            rot_backbone="minkunet14A", kp_backbone="minkunet14A",
+            icp_iterations=2, icp_template_points=128,
+            ee_point_counts_threshold=16, sanity_min_num_of_ee_points=16,
+            compute_confidence=True)
+        eng = InferenceEngine(cfg, seed=0)
+        data = SyntheticDataEngine(seed=2, n_ee=400, n_arm=500,
+                                   n_bg=600).get()
+        r = eng.predict(data)
+        assert r.confidence is not None and 0.0 <= r.confidence <= 1.0
+
+        # an impossible threshold forces is_confident False
+        eng.cfg = dataclasses.replace(cfg, confidence_threshold=1.1)
+        r2 = eng.predict(data)
+        assert r2.is_confident is False
+
+    def test_rotation_model_has_10_outputs(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from mrcc_tpu.app import InferenceConfig, InferenceEngine
+
+        cfg = InferenceConfig(
+            point_capacity=1024, seg_voxel_capacity=256,
+            ee_point_capacity=128, ee_voxel_capacity=128,
+            kp_voxel_capacity=128, seg_backbone="minkunet14A",
+            rot_backbone="minkunet14A", kp_backbone="minkunet14A",
+            icp_iterations=2, icp_template_points=128,
+            compute_confidence=True)
+        eng = InferenceEngine(cfg, seed=0)
+        pts = jnp.zeros((1, 128, 3)).at[0, :, 0].set(
+            jnp.linspace(0, 0.2, 128))
+        valid = jnp.ones((1, 128), bool)
+        pose, conf = eng._pose_jit(eng.params["rotation"], pts,
+                                   jnp.zeros((1, 128, 3)), valid)
+        assert pose.shape == (1, 7) and conf.shape == (1, 3)
+        assert (np.asarray(conf) >= 0).all() and (np.asarray(conf) <= 1).all()
