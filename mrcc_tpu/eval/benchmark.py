@@ -39,6 +39,7 @@ class BenchmarkApp:
 
     def run(self, out_path: Optional[str] = None):
         metrics = defaultdict(list)
+        position_metrics = defaultdict(lambda: defaultdict(list))
         predictions = defaultdict(list)
 
         for _ in range(self.n_samples):
@@ -46,31 +47,40 @@ class BenchmarkApp:
             if raw is None:
                 break
             result = self.engine.predict(raw)
+            position = raw.id or "p1"
+
+            def record(name, value):
+                metrics[name].append(value)
+                position_metrics[position][name].append(value)
 
             if raw.labels is not None and result.segmentation is not None:
                 seg = compute_segmentation_metrics(
                     raw.labels.astype(np.int32), result.segmentation)
-                metrics["seg_accuracy"].append(float(seg["accuracy"]))
-                metrics["seg_precision"].append(float(seg["precision"]))
-                metrics["seg_recall"].append(float(seg["recall"]))
+                record("seg_accuracy", float(seg["accuracy"]))
+                record("seg_precision", float(seg["precision"]))
+                record("seg_recall", float(seg["recall"]))
+                # per-class columns (reference app/test.py:405-441:
+                # Segmentation P/R/A per class)
+                for cls, cr in seg["class_results"].items():
+                    record(f"seg_{cls}_precision", float(cr["precision"]))
+                    record(f"seg_{cls}_recall", float(cr["recall"]))
 
             if result.ee_pose is not None and raw.pose is not None:
                 m = compute_pose_metrics(raw.pose, result.ee_pose)
-                metrics["nn_translation_m"].append(float(m["dist_position"]))
-                metrics["nn_rotation_rad"].append(float(m["angle_diff"]))
-                metrics["nn_add_m"].append(float(compute_add(
+                record("nn_translation_m", float(m["dist_position"]))
+                record("nn_rotation_rad", float(m["angle_diff"]))
+                record("nn_add_m", float(compute_add(
                     self.add_points, raw.pose, result.ee_pose)))
 
             if result.key_points_pose is not None and raw.pose is not None:
                 m = compute_pose_metrics(raw.pose, result.key_points_pose)
-                metrics["kp_translation_m"].append(float(m["dist_position"]))
-                metrics["kp_rotation_rad"].append(float(m["angle_diff"]))
+                record("kp_translation_m", float(m["dist_position"]))
+                record("kp_rotation_rad", float(m["angle_diff"]))
 
             if raw.ee2base_pose is not None and result.base_pose is not None:
                 m = compute_pose_metrics(self.gt_b2c, result.base_pose)
-                metrics["base2cam_translation_m"].append(
-                    float(m["dist_position"]))
-                metrics["base2cam_rotation_rad"].append(float(m["angle_diff"]))
+                record("base2cam_translation_m", float(m["dist_position"]))
+                record("base2cam_rotation_rad", float(m["angle_diff"]))
 
             if result.is_confident or not self.ignore_unconfident:
                 t = TestResultDTO(segmentation=None,
@@ -91,12 +101,15 @@ class BenchmarkApp:
             metrics["calib_translation_m"].append(calib_err["translation_m"])
             metrics["calib_rotation_rad"].append(calib_err["rotation_rad"])
 
+        position_metrics = {p: dict(v) for p, v in position_metrics.items()}
         report_path = None
         table = None
         if out_path:
             from .report import write_report
 
-            report_path, table = write_report(dict(metrics), out_path,
-                                              extra={"calibration": calib_err})
+            report_path, table = write_report(
+                dict(metrics), out_path, extra={"calibration": calib_err},
+                position_metrics=position_metrics)
         return {"metrics": dict(metrics), "calibration": calib_err,
+                "positions": position_metrics,
                 "report": report_path, "table": table}

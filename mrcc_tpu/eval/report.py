@@ -31,33 +31,53 @@ def build_report_table(metrics: Dict[str, list]):
 
 
 def write_report(metrics: Dict[str, list], out_path: str,
-                 extra: Dict = None):
-    """Write the benchmark table (xlsx if possible, else csv) + raw json."""
+                 extra: Dict = None, position_metrics: Dict = None):
+    """Write the benchmark workbook (xlsx if possible, else csv) + raw json.
+
+    ``position_metrics``: optional {position: {metric: [values]}} —
+    rendered as one block/sheet per position after the OVERALL block,
+    mirroring the reference workbook layout (app/test.py:444-509:
+    OVERALL + per-position sections, per-class segmentation columns come
+    in through the metric names).
+    """
     table = build_report_table(metrics)
+    pos_tables = {p: build_report_table(m)
+                  for p, m in (position_metrics or {}).items()}
     base, _ = os.path.splitext(out_path)
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
 
     with open(base + ".json", "w") as f:
         json.dump({"table": table, "extra": extra or {},
+                   "positions": pos_tables,
                    "raw": {k: [None if v is None else float(v) for v in vals]
                            for k, vals in metrics.items()}}, f, indent=2)
 
     cols = ["Metric", "Avg", "Min", "Max", "Med", "Std", "N"]
-    rows = [[name, *[table[name][c] for c in cols[1:]]] for name in table]
+
+    def rows_of(tbl):
+        return [[name, *[tbl[name][c] for c in cols[1:]]] for name in tbl]
+
     try:
         import openpyxl  # noqa: F401
         import pandas as pd
 
-        df = pd.DataFrame(rows, columns=cols)
-        df.to_excel(base + ".xlsx", index=False)
+        with pd.ExcelWriter(base + ".xlsx") as xw:
+            pd.DataFrame(rows_of(table), columns=cols).to_excel(
+                xw, sheet_name="OVERALL", index=False)
+            for p, tbl in pos_tables.items():
+                pd.DataFrame(rows_of(tbl), columns=cols).to_excel(
+                    xw, sheet_name=str(p)[:31], index=False)
         written = base + ".xlsx"
     except Exception:
         import csv
 
         with open(base + ".csv", "w", newline="") as f:
             w = csv.writer(f)
-            w.writerow(cols)
-            for r in rows:
-                w.writerow(["" if x is None else x for x in r])
+            w.writerow(["SECTION", *cols])
+            for r in rows_of(table):
+                w.writerow(["OVERALL"] + ["" if x is None else x for x in r])
+            for p, tbl in pos_tables.items():
+                for r in rows_of(tbl):
+                    w.writerow([p] + ["" if x is None else x for x in r])
         written = base + ".csv"
     return written, table

@@ -169,3 +169,47 @@ class TestCLISmoke:
         assert len(hist) == 1 and np.isfinite(hist[0]["loss"])
         res = test_vote(small_cfg)
         assert "overall" in res
+
+
+class TestPerPositionReport:
+    def test_write_report_with_positions(self, tmp_path):
+        from mrcc_tpu.eval.report import write_report
+
+        metrics = {"nn_translation_m": [0.01, 0.02, 0.03],
+                   "seg_ee_precision": [0.9, 0.95, 0.85]}
+        pos = {"p1": {"nn_translation_m": [0.01],
+                      "seg_ee_precision": [0.9]},
+               "p2": {"nn_translation_m": [0.02, 0.03],
+                      "seg_ee_precision": [0.95, 0.85]}}
+        path, table = write_report(metrics, str(tmp_path / "out.xlsx"),
+                                   position_metrics=pos)
+        import json as _json
+
+        blob = _json.load(open(str(tmp_path / "out.json")))
+        assert set(blob["positions"]) == {"p1", "p2"}
+        assert blob["positions"]["p2"]["nn_translation_m"]["N"] == 2
+        text = open(path).read() if path.endswith(".csv") else ""
+        if text:
+            assert "OVERALL" in text and "p2" in text
+
+    def test_benchmark_app_per_class_and_positions(self):
+        from mrcc_tpu.app import (InferenceConfig, InferenceEngine,
+                                  SyntheticDataEngine)
+        from mrcc_tpu.data.synthetic import gt_base2cam_pose
+        from mrcc_tpu.eval.benchmark import BenchmarkApp
+
+        cfg = InferenceConfig(
+            point_capacity=2048, seg_voxel_capacity=512,
+            ee_point_capacity=256, ee_voxel_capacity=256,
+            kp_voxel_capacity=256, seg_backbone="minkunet14A",
+            rot_backbone="minkunet14A", kp_backbone="minkunet14A",
+            icp_iterations=2, icp_template_points=128,
+            ee_point_counts_threshold=16, sanity_min_num_of_ee_points=16)
+        engine = InferenceEngine(cfg, seed=0)
+        source = SyntheticDataEngine(seed=3, n_ee=300, n_arm=400, n_bg=500)
+        app = BenchmarkApp(engine, source, gt_base2cam_pose(), n_samples=2,
+                           ignore_unconfident=False)
+        out = app.run()
+        assert "seg_ee_precision" in out["metrics"]
+        assert "seg_arm_recall" in out["metrics"]
+        assert out["positions"]  # grouped by position key
