@@ -46,12 +46,20 @@ class InferenceConfig:
     """Explicit replacement for the INFERENCE config section
     (config/default.yaml:136-192)."""
 
-    # capacities (static shapes; choose by scene size)
+    # capacities (static shapes; choose by scene size — see
+    # scripts/bench_stages.py occupancy probes; saturated capacities
+    # silently drop voxels, so the seg stage also reports an overflow flag)
     point_capacity: int = 32768
     seg_voxel_capacity: int = 16384
     ee_point_capacity: int = 8192
     ee_voxel_capacity: int = 4096
     kp_voxel_capacity: int = 8192
+    # optional measured per-level capacities for stride levels 1..4
+    # (default: halving from the stage capacity — generous for subsampled
+    # clouds, tight for dense ones)
+    seg_hierarchy_caps: typing.Optional[typing.Tuple[int, ...]] = None
+    ee_hierarchy_caps: typing.Optional[typing.Tuple[int, ...]] = None
+    kp_hierarchy_caps: typing.Optional[typing.Tuple[int, ...]] = None
 
     # stage configs (defaults = reference defaults)
     seg_backbone: str = "minkunet"        # robotnet_segmentation on 18D
@@ -239,7 +247,10 @@ class InferenceEngine:
 
     # ------------------------------------------------------------ the jit
 
-    def _hierarchy_caps(self, cap):
+    def _hierarchy_caps(self, cap, override=None):
+        if override is not None:
+            assert len(override) == 4
+            return tuple(override)
         return (cap, max(cap // 2, 64), max(cap // 4, 64), max(cap // 8, 64))
 
     def _seg_stage(self, params, points, rgb, mask):
@@ -255,7 +266,8 @@ class InferenceEngine:
         svox, spv, _ = voxelize(seg_pts, rgb, mask, 1.0 / cfg.seg_scale,
                                 cfg.seg_voxel_capacity)
         slevels = build_hierarchy(
-            svox, 4, capacities=self._hierarchy_caps(cfg.seg_voxel_capacity))
+            svox, 4, capacities=self._hierarchy_caps(cfg.seg_voxel_capacity,
+                                                     cfg.seg_hierarchy_caps))
         sfeats = svox.feats.astype(jnp.dtype(cfg.compute_dtype))
         slogits = self._seg_model.apply(params, sfeats, slevels)
         slogits = slogits.astype(jnp.float32)
@@ -280,7 +292,10 @@ class InferenceEngine:
         ee_pts = jnp.take_along_axis(points, order[..., None], axis=1)
         ee_rgb = jnp.take_along_axis(rgb, order[..., None], axis=1)
         ee_valid = jnp.take_along_axis(ee_mask, order, axis=1)
-        return seg, ee_count, ee_pts, ee_rgb, ee_valid
+        # capacity saturation flag: a full voxel buffer means voxels were
+        # silently dropped — callers should treat results as degraded
+        overflow = svox.count >= cfg.seg_voxel_capacity
+        return seg, ee_count, ee_pts, ee_rgb, ee_valid, overflow
 
     def _pose_stage(self, params, ee_pts, ee_rgb, ee_valid):
         """Rotation net + magic translation (predict_rotation :437 +
@@ -293,7 +308,8 @@ class InferenceEngine:
         rvox, _, _ = voxelize(rot_pts, ee_rgb, ee_valid, 1.0 / cfg.rot_scale,
                               cfg.ee_voxel_capacity)
         rlevels = build_hierarchy(
-            rvox, 4, capacities=self._hierarchy_caps(cfg.ee_voxel_capacity))
+            rvox, 4, capacities=self._hierarchy_caps(cfg.ee_voxel_capacity,
+                                                     cfg.ee_hierarchy_caps))
         rfeats = rvox.feats.astype(jnp.dtype(cfg.compute_dtype))
         rot_out = self._rot_model.apply(params, rfeats, rlevels,
                                         train=False).astype(jnp.float32)
@@ -369,7 +385,8 @@ class InferenceEngine:
         kvox, kpv, _ = voxelize(kp_pts, ee_rgb, ee_valid, 1.0 / cfg.kp_scale,
                                 cfg.kp_voxel_capacity)
         klevels = build_hierarchy(
-            kvox, 4, capacities=self._hierarchy_caps(cfg.kp_voxel_capacity))
+            kvox, 4, capacities=self._hierarchy_caps(cfg.kp_voxel_capacity,
+                                                     cfg.kp_hierarchy_caps))
         kfeats = kvox.feats.astype(jnp.dtype(cfg.compute_dtype))
         klogits = self._kp_model.apply(params, kfeats, klevels)
         klogits = klogits.astype(jnp.float32)
@@ -413,8 +430,8 @@ class InferenceEngine:
                     jax.sharding.NamedSharding(self.mesh,
                                                jax.sharding.PartitionSpec()))
                 self._params_replicated = True
-        seg, ee_count, ee_pts, ee_rgb, ee_valid = self._seg_jit(
-            self.params["segmentation"], points, rgb, mask)
+        seg, ee_count, ee_pts, ee_rgb, ee_valid, seg_overflow = \
+            self._seg_jit(self.params["segmentation"], points, rgb, mask)
         ee_pose, rot_conf = self._pose_jit(self.params["rotation"], ee_pts,
                                            ee_rgb, ee_valid)
         kp_pose, kp_ok, kp_coords, kp_found, kp_conf = self._kp_jit(
@@ -424,6 +441,7 @@ class InferenceEngine:
                                              ee_pose, kp_pose)
         return {
             "segmentation": seg,
+            "seg_overflow": seg_overflow,
             "ee_count": ee_count,
             "ee_pose": ee_pose,
             "rot_conf": rot_conf,

@@ -124,11 +124,14 @@ def generate_sample(seed=0, n_ee=4096, n_arm=6000, n_bg=14000,
     link2 = _cylinder_surface(rng, elbow, mount, 0.035, n_arm - n_arm // 2)
     arm_pts = np.concatenate([link1, link2])
 
-    # background: table plane + clutter boxes
+    # background: table plane + clutter boxes.  The table is a true PLANE
+    # (plus ~2mm sensor noise) — a depth camera sees surfaces; a volumetric
+    # slab here would be unrealistic and would destroy the stride-2 voxel
+    # coalescing every sparse U-Net level relies on.
     n_table = int(n_bg * 0.7)
     table = np.stack([
         rng.uniform(-0.9, 0.9, n_table),
-        rng.uniform(0.38, 0.48, n_table),
+        0.43 + rng.normal(0.0, 0.002, n_table),
         rng.uniform(0.5, 1.9, n_table),
     ], axis=1)
     clutter = []

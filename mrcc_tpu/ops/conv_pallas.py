@@ -153,6 +153,12 @@ def _gather_gemm_call(idx_t, hit_t, starts, nchunks, feats, w_grp,
     )(starts, nchunks, idx_t, hit_t, feats, w_grp)
 
 
+# VMEM-resident feature-table budget (bytes).  Mosaic double-buffers the
+# per-item table block, so ~2x this plus weight/scratch blocks must fit in
+# the 16 MB VMEM (measured: 8.2 MB tables OOM, 5.1 MB compile).
+_TABLE_BUDGET = 5 * 1024 * 1024
+
+
 def gather_gemm_conv(feats, weights, nbr_idx, nbr_hit, out_valid, bias=None,
                      t=None, w_width=None):
     """Sparse conv via the Pallas windowed kernel.
@@ -160,8 +166,8 @@ def gather_gemm_conv(feats, weights, nbr_idx, nbr_hit, out_valid, bias=None,
     Drop-in equivalent of ``sparse.conv.conv_kernel_map`` (same arguments /
     semantics): out[i] = sum_k hit[k,i] * feats[idx[k,i]] @ W[k].
 
-    Falls back to None (caller should use the XLA path) when shapes are
-    unsuitable — callers use :func:`supported`.
+    Tables over the VMEM budget are processed in channel groups (the maps
+    are shared; one kernel call per group, summed — exact).
     """
     k, b, n_out = nbr_idx.shape
     _, n, c = feats.shape
@@ -170,12 +176,20 @@ def gather_gemm_conv(feats, weights, nbr_idx, nbr_hit, out_valid, bias=None,
     w_width = w_width or min(max(2 * t, 128), n)
     nt = n_out // t
 
-    kg = _choose_kg(k, c)
+    # --- tiled index layout + per-(k, b, tile) window scalars (XLA side;
+    # identical subgraphs across convs on one level are CSE'd) ---
+    itemsize = jnp.dtype(feats.dtype).itemsize
+    if n * c * itemsize > _TABLE_BUDGET:
+        c_g = max(128, (_TABLE_BUDGET // (n * itemsize)) // 128 * 128)
+    else:
+        c_g = c
+    n_cg = -(-c // c_g)
+    c_pad = n_cg * c_g
+
+    kg = _choose_kg(k, c_g)
     n_kg = -(-k // kg)
     kp = n_kg * kg
 
-    # --- tiled index layout + per-(k, b, tile) window scalars (XLA side;
-    # identical subgraphs across convs on one level are CSE'd) ---
     idx_r = nbr_idx.reshape(k, b, nt, t)
     hit_r = nbr_hit.reshape(k, b, nt, t)
     lo = jnp.where(hit_r, idx_r, n - 1).min(axis=-1)      # [k, b, nt]
@@ -193,12 +207,20 @@ def gather_gemm_conv(feats, weights, nbr_idx, nbr_hit, out_valid, bias=None,
     starts_f = pad_k(starts).reshape(-1).astype(jnp.int32)
     nchunks_f = jnp.maximum(pad_k(nchunks), 1).reshape(-1).astype(jnp.int32)
 
-    w_grp = jnp.pad(weights.astype(feats.dtype), ((0, kp - k), (0, 0), (0, 0))
-                    ).reshape(n_kg, kg * c, cout)
+    if n_cg > 1:
+        feats = jnp.pad(feats, ((0, 0), (0, 0), (0, c_pad - c)))
+        weights = jnp.pad(weights, ((0, 0), (0, c_pad - c), (0, 0)))
 
-    out = _gather_gemm_call(idx_t, hit_t, starts_f, nchunks_f, feats, w_grp,
-                            t=t, w=w_width, kg=kg, n_out=n_out, cout=cout,
-                            out_dtype=jnp.float32)
+    out = None
+    for cg in range(n_cg):
+        f_sl = feats[:, :, cg * c_g:(cg + 1) * c_g]
+        w_sl = jnp.pad(
+            weights[:, cg * c_g:(cg + 1) * c_g, :].astype(feats.dtype),
+            ((0, kp - k), (0, 0), (0, 0))).reshape(n_kg, kg * c_g, cout)
+        contrib = _gather_gemm_call(idx_t, hit_t, starts_f, nchunks_f, f_sl,
+                                    w_sl, t=t, w=w_width, kg=kg, n_out=n_out,
+                                    cout=cout, out_dtype=jnp.float32)
+        out = contrib if out is None else out + contrib
     out = out.astype(feats.dtype)
     if bias is not None:
         out = out + bias.astype(feats.dtype)

@@ -1,0 +1,211 @@
+"""Pallas windowed-rank kernel: sorted-key neighbour lookups without sorts.
+
+The coordinate hierarchy (sparse/hierarchy.py) resolves every kernel-map
+query with ``searchsorted(keys, keys + delta, method='sort')`` — one sort
+over ``N + 27N`` keys per level (~28 ms/level on-chip, the single biggest
+cost of the inference pipeline after the convolutions).
+
+This kernel exploits the same monotonicity as the conv gather: per offset,
+queries ``q = qbase + delta`` are sorted, so a tile of T queries ranks
+inside a narrow window of the searched keys.  Per (item, tile, offset):
+
+  rank_i  = st + #{ keys[pos] < q_i : pos in covered segments }
+  hit_i   = any( keys[pos] == q_i )          (keys are unique voxels)
+  idx_i   = rank_i                            (sorted unique keys)
+
+computed with [T, W] compares + row sums on the VPU — no sorts, no
+gathers.  Window starts/chunk counts come from a SMALL boundary
+searchsorted (tile-boundary queries only: K*nt instead of K*N).
+Exactness is unconditional via the same disjoint span-partition chunk loop
+as ops/conv_pallas.py.
+
+Replaces ``_neighbor_table_one`` (k=3 tables) and ``_child_table_one``
+(strided k=2/k=3 tables, queries ``(parent_key << log2(stride)) + delta``)
+on the inference path; oracle-tested against both in
+tests/test_rank_pallas.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..sparse.types import COORD_BITS, COORD_RANGE, KEY_PAD
+
+
+def _interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def _pick_tile(n: int) -> int:
+    for t in (128, 64, 32, 16, 8):
+        if n % t == 0 and n >= t:
+            return t
+    return 0
+
+
+def pack_deltas(offsets) -> np.ndarray:
+    """Arithmetic key deltas for coordinate offsets [K, 3] (signed)."""
+    offsets = np.asarray(offsets)
+    return (offsets[:, 0] * (1 << (2 * COORD_BITS))
+            + offsets[:, 1] * (1 << COORD_BITS)
+            + offsets[:, 2]).astype(np.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("deltas", "t", "w", "kp"))
+def _rank_call(keys, qbase, qvalid_t, starts, nchunks, deltas, t, w, kp):
+    """keys [B, N] sorted; qbase [B, Nq] sorted; qvalid_t [B, nt, KP, T];
+    starts/nchunks [KP*B*nt] i32.  Returns idx_t, hit_t [B, nt, KP, T]."""
+    b, n = keys.shape
+    nq = qbase.shape[1]
+    nt = nq // t
+    deltas_np = np.asarray(deltas, np.int32)
+    k_real = len(deltas_np)
+
+    def kernel(starts_ref, nchunks_ref, keys_ref, qbase_ref, qvalid_ref,
+               idx_ref, hit_ref):
+        bi = pl.program_id(0)
+        ti = pl.program_id(1)
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (t, w), 1)
+        qtile = qbase_ref[0, pl.ds(ti * t, t)]
+
+        for k in range(kp):
+            if k < k_real:
+                delta = int(deltas_np[k])
+                q = qtile + delta
+                flat = (k * pl.num_programs(0) + bi) * nt + ti
+                st = starts_ref[flat]
+                nch = nchunks_ref[flat]
+
+                def chunk(ci, carry):
+                    rank, eq = carry
+                    wst = pl.multiple_of(
+                        jnp.minimum(st + ci * w, n - w), 8)
+                    window = keys_ref[0, pl.ds(wst, w)]        # [W]
+                    pos = wst + iota_w[0]                       # [W]
+                    seg = ((pos >= st + ci * w)
+                           & (pos < st + (ci + 1) * w))[None, :]
+                    cmp_lt = (window[None, :] < q[:, None]) & seg
+                    cmp_eq = (window[None, :] == q[:, None]) & seg
+                    rank = rank + cmp_lt.astype(jnp.int32).sum(axis=1)
+                    eq = eq | cmp_eq.any(axis=1)
+                    return rank, eq
+
+                rank0 = jnp.zeros((t,), jnp.int32)
+                eq0 = jnp.zeros((t,), bool)
+                rank, eq = jax.lax.fori_loop(0, nch, chunk, (rank0, eq0))
+                valid = qvalid_ref[0, 0, k, :] != 0
+                idx_ref[0, 0, k, :] = jnp.minimum(st + rank, n - 1)
+                hit_ref[0, 0, k, :] = (eq & valid).astype(jnp.int32)
+            else:
+                idx_ref[0, 0, k, :] = jnp.zeros((t,), jnp.int32)
+                hit_ref[0, 0, k, :] = jnp.zeros((t,), jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, nt),
+        in_specs=[
+            pl.BlockSpec((1, n), lambda bi, ti, s1, s2: (bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nq), lambda bi, ti, s1, s2: (bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, kp, t), lambda bi, ti, s1, s2:
+                         (bi, ti, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, kp, t), lambda bi, ti, s1, s2:
+                         (bi, ti, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, kp, t), lambda bi, ti, s1, s2:
+                         (bi, ti, 0, 0), memory_space=pltpu.VMEM),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((b, nt, kp, t), jnp.int32),
+                   jax.ShapeDtypeStruct((b, nt, kp, t), jnp.int32)],
+        grid_spec=grid_spec,
+        interpret=_interpret(),
+    )(starts, nchunks, keys, qbase, qvalid_t)
+
+
+def rank_lookup(keys, qbase, deltas, qvalid, t=None, w=None):
+    """Batched monotone lookups: for each offset delta, the rank and
+    hit of ``qbase + delta`` in ``keys``.
+
+    Args:
+      keys: [B, N] int32 ascending per item (KEY_PAD padding).
+      qbase: [B, Nq] int32 ascending per item.
+      deltas: static [K] int (np array / tuple).
+      qvalid: [K, B, Nq] bool — query validity (in-range & valid source).
+    Returns (idx [K, B, Nq] int32, hit [K, B, Nq] bool).
+    """
+    deltas = tuple(int(d) for d in np.asarray(deltas).reshape(-1))
+    k = len(deltas)
+    b, n = keys.shape
+    nq = qbase.shape[1]
+    t = t or _pick_tile(nq)
+    w = w or min(max(2 * t, 128), n - (n % 8) if n % 8 else n)
+    w = min(w, n - (n % 8)) if n % 8 else min(w, n)
+    nt = nq // t
+    kp = max(8, -(-k // 8) * 8)
+
+    # small boundary searchsorted: ranks of each tile's first query
+    qb = qbase[:, ::t]                                        # [B, nt]
+    deltas_arr = jnp.asarray(deltas, jnp.int32)
+    queries = (qb[None, :, :] + deltas_arr[:, None, None])    # [K, B, nt]
+    flat_q = queries.transpose(1, 0, 2).reshape(b, k * nt)
+    ranks = jax.vmap(lambda ky, qq: jnp.searchsorted(
+        ky, qq, side="left", method="sort"))(keys, flat_q)
+    ranks = ranks.reshape(b, k, nt).transpose(1, 0, 2).astype(jnp.int32)
+
+    ends = jnp.concatenate([ranks[:, :, 1:],
+                            jnp.full((k, b, 1), n, jnp.int32)], axis=-1)
+    starts = jnp.clip(ranks - (ranks % 8), 0, max(n - w, 0))
+    span = jnp.maximum(ends - starts, 0)
+    nchunks = jnp.minimum(span // w + 1, -(-n // w))
+
+    def pad_k(a):
+        return jnp.pad(a, ((0, kp - k),) + ((0, 0),) * (a.ndim - 1))
+
+    qvalid_t = pad_k(qvalid.astype(jnp.int32)).reshape(
+        kp, b, nt, t).transpose(1, 2, 0, 3)
+    starts_f = pad_k(starts).reshape(-1)
+    nchunks_f = jnp.maximum(pad_k(nchunks), 1).reshape(-1)
+
+    idx_t, hit_t = _rank_call(keys, qbase, qvalid_t, starts_f, nchunks_f,
+                              deltas, t, w, kp)
+    idx = idx_t.transpose(2, 0, 1, 3).reshape(kp, b, nq)[:k]
+    hit = hit_t.transpose(2, 0, 1, 3).reshape(kp, b, nq)[:k] != 0
+    return idx, hit
+
+
+def neighbor_tables(off, key, valid, offsets, t=None, w=None):
+    """k=3 s=1 neighbour tables, batched (replaces vmapped
+    ``_neighbor_table_one``): (idx [K, B, N], hit [K, B, N])."""
+    offsets = np.asarray(offsets)
+    deltas = pack_deltas(offsets)
+    off_q = off[None] + jnp.asarray(offsets)[:, None, None, :]
+    in_range = jnp.all((off_q >= 0) & (off_q < COORD_RANGE), axis=-1)
+    qvalid = valid[None] & in_range
+    return rank_lookup(key, key, deltas, qvalid, t=t, w=w)
+
+
+def child_tables(parent_off, parent_key, parent_valid, child_key, offsets,
+                 stride=2, t=None, w=None):
+    """Strided kernel maps (replaces vmapped ``_child_table_one``):
+    queries ``pack(parent*stride + d) = (parent_key << log2 stride) + d``.
+    Returns (idx [K, Np...], hit) over the CHILD key set."""
+    offsets = np.asarray(offsets)
+    deltas = pack_deltas(offsets)
+    shift = int(np.log2(stride))
+    assert (1 << shift) == stride, "stride must be a power of two"
+    qbase = jnp.where(parent_valid, parent_key << shift, KEY_PAD)
+    off_q = (parent_off * stride)[None] + jnp.asarray(offsets)[:, None, None, :]
+    in_range = jnp.all((off_q >= 0) & (off_q < COORD_RANGE), axis=-1)
+    qvalid = parent_valid[None] & in_range
+    return rank_lookup(child_key, qbase, deltas, qvalid, t=t, w=w)

@@ -12,34 +12,15 @@ Weight layout: ``[K, Cin, Cout]`` with K = 27 (k=3 s=1), 8 (k=2 s=2) or 1.
 
 from __future__ import annotations
 
-import contextlib
-
 import jax
 import jax.numpy as jnp
 
-# Convolution implementation selector (trace-time):
-#   "xla"    — scan of take_along_axis gathers + GEMMs (differentiable;
-#              the training path).
-#   "pallas" — ops/conv_pallas.py windowed gather-GEMM kernel (ONE HLO op
-#              per conv, MXU one-hot gathers; forward-only — used by the
-#              inference engine on TPU).
-_CONV_IMPL = "xla"
-
-
-@contextlib.contextmanager
-def conv_impl(name: str):
-    """Select the conv implementation for code traced inside this scope."""
-    global _CONV_IMPL
-    assert name in ("xla", "pallas"), name
-    old, _CONV_IMPL = _CONV_IMPL, name
-    try:
-        yield
-    finally:
-        _CONV_IMPL = old
+from .impl import current as _current_impl
+from .impl import sparse_impl as conv_impl  # noqa: F401  (public alias)
 
 
 def _pallas_route(feats, nbr_idx):
-    if _CONV_IMPL != "pallas":
+    if _current_impl() != "pallas":
         return False
     from ..ops import conv_pallas
 

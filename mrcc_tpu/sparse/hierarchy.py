@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .impl import current as _current_impl
 from .types import COORD_BITS, COORD_RANGE, KEY_PAD, SparseVoxels, pack_key, unpack_key
 
 # Offset enumeration orders (static numpy, baked into the jit program).
@@ -61,6 +62,44 @@ def _lookup(sorted_keys, queries):
     idx = jnp.minimum(idx, n - 1)
     hit = (sorted_keys[idx] == queries) & (queries < KEY_PAD)
     return idx, hit
+
+
+def _use_rank_kernel(n_keys, n_queries) -> bool:
+    """Route lookups through ops/rank_pallas.py (windowed-rank kernel,
+    no sorts) when the pallas impl is active and shapes tile."""
+    if _current_impl() != "pallas":
+        return False
+    from ..ops.rank_pallas import _pick_tile
+
+    return _pick_tile(n_queries) >= 8 and n_keys >= 8 and n_keys % 8 == 0
+
+
+def _neighbor_tables(off, key, valid, offsets):
+    """Batched 27-neighbour tables [K, B, N] (impl-dispatched)."""
+    if _use_rank_kernel(key.shape[1], key.shape[1]):
+        from ..ops.rank_pallas import neighbor_tables
+
+        return neighbor_tables(off, key, valid, offsets)
+    return jax.vmap(
+        partial(_neighbor_table_one, offsets=offsets),
+        in_axes=(0, 0, 0), out_axes=(1, 1),
+    )(off, key, valid)
+
+
+def _child_tables(parent_off, parent_key, parent_valid, child_key, offsets,
+                  stride=2):
+    """Batched strided kernel maps [K, B, Np] (impl-dispatched)."""
+    is_pow2 = stride & (stride - 1) == 0
+    if is_pow2 and _use_rank_kernel(child_key.shape[1],
+                                    parent_key.shape[1]):
+        from ..ops.rank_pallas import child_tables
+
+        return child_tables(parent_off, parent_key, parent_valid, child_key,
+                            offsets, stride=stride)
+    return jax.vmap(
+        partial(_child_table_one, offsets=offsets, stride=stride),
+        in_axes=(0, 0, 0), out_axes=(1, 1),
+    )(parent_off, parent_valid, child_key)
 
 
 def _neighbor_table_one(off, key, valid, offsets):
