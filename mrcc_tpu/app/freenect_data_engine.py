@@ -42,9 +42,11 @@ class FreenectDataEngine(DataEngineInterface):
 
     def _on_pose(self, msg):
         p = msg.pose
-        self._pose = xyzw_to_wxyz(np.array(
-            [p.position.x, p.position.y, p.position.z, p.orientation.x,
-             p.orientation.y, p.orientation.z, p.orientation.w]))
+        q_wxyz = xyzw_to_wxyz(np.array(
+            [p.orientation.x, p.orientation.y, p.orientation.z,
+             p.orientation.w]))
+        self._pose = np.concatenate(
+            [[p.position.x, p.position.y, p.position.z], q_wxyz])
 
     def _on_cloud(self, points, rgb):
         dto = PointCloudDTO(points=points, rgb=rgb,
