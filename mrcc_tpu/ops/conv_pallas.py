@@ -60,6 +60,13 @@ def _pick_tile(n: int) -> int:
     return 0
 
 
+def default_window(t: int, n: int) -> int:
+    """Canonical window width for tile size t over an n-row table (shared
+    with ops/rank_pallas.py so level-cached maps are reusable by convs)."""
+    n8 = n - (n % 8)
+    return max(8, min(max(2 * t, 128), n8))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("t", "w", "kg", "n_out", "cout", "out_dtype"))
@@ -67,7 +74,7 @@ def _gather_gemm_call(idx_t, hit_t, starts, nchunks, feats, w_grp,
                       t, w, kg, n_out, cout, out_dtype):
     """The pallas_call wrapper (all shapes static).
 
-    idx_t/hit_t: [B, nt, KP, T] int32 (KP = n_groups*kg, zero-padded).
+    idx_t/hit_t: [B, nt, KP, T] int32 (KP >= n_groups*kg, zero-padded).
     starts/nchunks: [KP*B*nt] int32 scalar-prefetch (window start, aligned
       down to 8 and clamped to [0, N-W]; number of W-chunks covering the
       tile's hit-index span).
@@ -78,7 +85,8 @@ def _gather_gemm_call(idx_t, hit_t, starts, nchunks, feats, w_grp,
     b, n, c = feats.shape
     nt = n_out // t
     n_kg = w_grp.shape[0]
-    kp = n_kg * kg
+    kp = idx_t.shape[2]
+    assert n_kg * kg <= kp
 
     def kernel(starts_ref, nchunks_ref, idx_ref, hit_ref, feats_ref, w_ref,
                out_ref, gall_ref):
@@ -159,36 +167,18 @@ def _gather_gemm_call(idx_t, hit_t, starts, nchunks, feats, w_grp,
 _TABLE_BUDGET = 5 * 1024 * 1024
 
 
-def gather_gemm_conv(feats, weights, nbr_idx, nbr_hit, out_valid, bias=None,
-                     t=None, w_width=None):
-    """Sparse conv via the Pallas windowed kernel.
+def build_tiled_maps(nbr_idx, nbr_hit, n, t=None, w_width=None, kp=None):
+    """Tiled kernel-map layout + per-(k, b, tile) window scalars.
 
-    Drop-in equivalent of ``sparse.conv.conv_kernel_map`` (same arguments /
-    semantics): out[i] = sum_k hit[k,i] * feats[idx[k,i]] @ W[k].
-
-    Tables over the VMEM budget are processed in channel groups (the maps
-    are shared; one kernel call per group, summed — exact).
+    Returns (idx_t [B, nt, KP, T], hit_t, starts [KP*B*nt], nchunks).
+    Cache this per hierarchy level — every conv on the level shares it
+    (t is implied by idx_t's last dim; w by :func:`default_window`).
     """
     k, b, n_out = nbr_idx.shape
-    _, n, c = feats.shape
-    cout = weights.shape[-1]
     t = t or _pick_tile(n_out)
-    w_width = w_width or min(max(2 * t, 128), n)
+    w_width = w_width or default_window(t, n)
     nt = n_out // t
-
-    # --- tiled index layout + per-(k, b, tile) window scalars (XLA side;
-    # identical subgraphs across convs on one level are CSE'd) ---
-    itemsize = jnp.dtype(feats.dtype).itemsize
-    if n * c * itemsize > _TABLE_BUDGET:
-        c_g = max(128, (_TABLE_BUDGET // (n * itemsize)) // 128 * 128)
-    else:
-        c_g = c
-    n_cg = -(-c // c_g)
-    c_pad = n_cg * c_g
-
-    kg = _choose_kg(k, c_g)
-    n_kg = -(-k // kg)
-    kp = n_kg * kg
+    kp = kp or max(8, -(-k // 8) * 8)
 
     idx_r = nbr_idx.reshape(k, b, nt, t)
     hit_r = nbr_hit.reshape(k, b, nt, t)
@@ -206,17 +196,49 @@ def gather_gemm_conv(feats, weights, nbr_idx, nbr_hit, out_valid, bias=None,
     hit_t = pad_k(hit_r.astype(jnp.int32)).transpose(1, 2, 0, 3)
     starts_f = pad_k(starts).reshape(-1).astype(jnp.int32)
     nchunks_f = jnp.maximum(pad_k(nchunks), 1).reshape(-1).astype(jnp.int32)
+    return idx_t, hit_t, starts_f, nchunks_f
+
+
+def gather_gemm_conv_tiled(feats, weights, tiled, out_valid, bias=None,
+                           k=None, w_width=None):
+    """Conv on a precomputed tiled map (see :func:`build_tiled_maps`).
+
+    ``w_width`` must match the width the map's nchunks were computed for
+    (defaults to :func:`default_window`, the shared convention)."""
+    idx_t, hit_t, starts_f, nchunks_f = tiled
+    b, n, c = feats.shape
+    t = idx_t.shape[3]
+    w_width = w_width or default_window(t, n)
+    k = k or weights.shape[0]
+    kp = idx_t.shape[2]
+    n_out = idx_t.shape[1] * t
+    cout = weights.shape[-1]
+
+    itemsize = jnp.dtype(feats.dtype).itemsize
+    if n * c * itemsize > _TABLE_BUDGET:
+        c_g = max(128, (_TABLE_BUDGET // (n * itemsize)) // 128 * 128)
+    else:
+        c_g = c
+    n_cg = -(-c // c_g)
+    c_pad = n_cg * c_g
+
+    kg = min(_choose_kg(k, c_g), kp)
+    n_kg = -(-k // kg)
+    while n_kg * kg > kp:  # respect the map's KP padding
+        kg -= 1
+        n_kg = -(-k // kg)
 
     if n_cg > 1:
         feats = jnp.pad(feats, ((0, 0), (0, 0), (0, c_pad - c)))
         weights = jnp.pad(weights, ((0, 0), (0, c_pad - c), (0, 0)))
 
+    w_full = jnp.pad(weights.astype(feats.dtype),
+                     ((0, n_kg * kg - k), (0, 0), (0, 0)))
     out = None
     for cg in range(n_cg):
         f_sl = feats[:, :, cg * c_g:(cg + 1) * c_g]
-        w_sl = jnp.pad(
-            weights[:, cg * c_g:(cg + 1) * c_g, :].astype(feats.dtype),
-            ((0, kp - k), (0, 0), (0, 0))).reshape(n_kg, kg * c_g, cout)
+        w_sl = w_full[:, cg * c_g:(cg + 1) * c_g, :].reshape(
+            n_kg, kg * c_g, cout)
         contrib = _gather_gemm_call(idx_t, hit_t, starts_f, nchunks_f, f_sl,
                                     w_sl, t=t, w=w_width, kg=kg, n_out=n_out,
                                     cout=cout, out_dtype=jnp.float32)
@@ -225,6 +247,25 @@ def gather_gemm_conv(feats, weights, nbr_idx, nbr_hit, out_valid, bias=None,
     if bias is not None:
         out = out + bias.astype(feats.dtype)
     return jnp.where(out_valid[..., None], out, 0)
+
+
+def gather_gemm_conv(feats, weights, nbr_idx, nbr_hit, out_valid, bias=None,
+                     t=None, w_width=None):
+    """Sparse conv via the Pallas windowed kernel.
+
+    Drop-in equivalent of ``sparse.conv.conv_kernel_map`` (same arguments /
+    semantics): out[i] = sum_k hit[k,i] * feats[idx[k,i]] @ W[k].
+
+    Tables over the VMEM budget are processed in channel groups (the maps
+    are shared; one kernel call per group, summed — exact).
+    """
+    n = feats.shape[1]
+    t = t or _pick_tile(nbr_idx.shape[-1])
+    w_width = w_width or default_window(t, n)
+    tiled = build_tiled_maps(nbr_idx, nbr_hit, n, t=t, w_width=w_width)
+    return gather_gemm_conv_tiled(feats, weights, tiled, out_valid,
+                                  bias=bias, k=nbr_idx.shape[0],
+                                  w_width=w_width)
 
 
 def supported(nbr_idx, feats) -> bool:

@@ -133,7 +133,8 @@ def _rank_call(keys, qbase, qvalid_t, starts, nchunks, deltas, t, w, kp):
     )(starts, nchunks, keys, qbase, qvalid_t)
 
 
-def rank_lookup(keys, qbase, deltas, qvalid, t=None, w=None):
+def rank_lookup(keys, qbase, deltas, qvalid, t=None, w=None,
+                return_tiled=False):
     """Batched monotone lookups: for each offset delta, the rank and
     hit of ``qbase + delta`` in ``keys``.
 
@@ -142,15 +143,20 @@ def rank_lookup(keys, qbase, deltas, qvalid, t=None, w=None):
       qbase: [B, Nq] int32 ascending per item.
       deltas: static [K] int (np array / tuple).
       qvalid: [K, B, Nq] bool — query validity (in-range & valid source).
-    Returns (idx [K, B, Nq] int32, hit [K, B, Nq] bool).
+      return_tiled: also return the conv-ready tiled pack
+        (idx_t, hit_t, starts, nchunks) — the same window scalars serve
+        ops/conv_pallas.py's gather windows, so convolutions on this
+        level skip their per-call map preparation entirely.
+    Returns (idx [K, B, Nq] int32, hit [K, B, Nq] bool[, tiled]).
     """
+    from .conv_pallas import default_window
+
     deltas = tuple(int(d) for d in np.asarray(deltas).reshape(-1))
     k = len(deltas)
     b, n = keys.shape
     nq = qbase.shape[1]
     t = t or _pick_tile(nq)
-    w = w or min(max(2 * t, 128), n - (n % 8) if n % 8 else n)
-    w = min(w, n - (n % 8)) if n % 8 else min(w, n)
+    w = w or default_window(t, n)
     nt = nq // t
     kp = max(8, -(-k // 8) * 8)
 
@@ -181,25 +187,29 @@ def rank_lookup(keys, qbase, deltas, qvalid, t=None, w=None):
                               deltas, t, w, kp)
     idx = idx_t.transpose(2, 0, 1, 3).reshape(kp, b, nq)[:k]
     hit = hit_t.transpose(2, 0, 1, 3).reshape(kp, b, nq)[:k] != 0
+    if return_tiled:
+        return idx, hit, (idx_t, hit_t, starts_f, nchunks_f)
     return idx, hit
 
 
-def neighbor_tables(off, key, valid, offsets, t=None, w=None):
+def neighbor_tables(off, key, valid, offsets, t=None, w=None,
+                    return_tiled=False):
     """k=3 s=1 neighbour tables, batched (replaces vmapped
-    ``_neighbor_table_one``): (idx [K, B, N], hit [K, B, N])."""
+    ``_neighbor_table_one``): (idx [K, B, N], hit [K, B, N][, tiled])."""
     offsets = np.asarray(offsets)
     deltas = pack_deltas(offsets)
     off_q = off[None] + jnp.asarray(offsets)[:, None, None, :]
     in_range = jnp.all((off_q >= 0) & (off_q < COORD_RANGE), axis=-1)
     qvalid = valid[None] & in_range
-    return rank_lookup(key, key, deltas, qvalid, t=t, w=w)
+    return rank_lookup(key, key, deltas, qvalid, t=t, w=w,
+                       return_tiled=return_tiled)
 
 
 def child_tables(parent_off, parent_key, parent_valid, child_key, offsets,
-                 stride=2, t=None, w=None):
+                 stride=2, t=None, w=None, return_tiled=False):
     """Strided kernel maps (replaces vmapped ``_child_table_one``):
     queries ``pack(parent*stride + d) = (parent_key << log2 stride) + d``.
-    Returns (idx [K, Np...], hit) over the CHILD key set."""
+    Returns (idx [K, Np...], hit[, tiled]) over the CHILD key set."""
     offsets = np.asarray(offsets)
     deltas = pack_deltas(offsets)
     shift = int(np.log2(stride))
@@ -208,4 +218,5 @@ def child_tables(parent_off, parent_key, parent_valid, child_key, offsets,
     off_q = (parent_off * stride)[None] + jnp.asarray(offsets)[:, None, None, :]
     in_range = jnp.all((off_q >= 0) & (off_q < COORD_RANGE), axis=-1)
     qvalid = parent_valid[None] & in_range
-    return rank_lookup(child_key, qbase, deltas, qvalid, t=t, w=w)
+    return rank_lookup(child_key, qbase, deltas, qvalid, t=t, w=w,
+                       return_tiled=return_tiled)

@@ -83,6 +83,12 @@ def conv1x1(feats, weights, valid, bias=None):
 
 def conv_k3(feats, weights, level, bias=None):
     """k=3 s=1 conv on one level (27-neighbour kernel map)."""
+    if level.nbr_tiled is not None and _pallas_route(feats, level.nbr_idx):
+        from ..ops.conv_pallas import gather_gemm_conv_tiled
+
+        return gather_gemm_conv_tiled(feats, weights, level.nbr_tiled,
+                                      level.valid, bias=bias,
+                                      k=weights.shape[0])
     return conv_kernel_map(feats, weights, level.nbr_idx, level.nbr_hit,
                            level.valid, bias=bias)
 
@@ -92,6 +98,14 @@ def conv_down(feats, weights, fine_level, coarse_level, bias=None):
 
     ``fine_level.child_idx`` lives on the coarse level per build_hierarchy.
     """
+    if (coarse_level.child_tiled is not None
+            and _pallas_route(feats, coarse_level.child_idx)):
+        from ..ops.conv_pallas import gather_gemm_conv_tiled
+
+        return gather_gemm_conv_tiled(feats, weights,
+                                      coarse_level.child_tiled,
+                                      coarse_level.valid, bias=bias,
+                                      k=weights.shape[0])
     return conv_kernel_map(feats, weights, coarse_level.child_idx,
                            coarse_level.child_hit, coarse_level.valid, bias=bias)
 

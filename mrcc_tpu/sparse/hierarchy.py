@@ -75,31 +75,37 @@ def _use_rank_kernel(n_keys, n_queries) -> bool:
 
 
 def _neighbor_tables(off, key, valid, offsets):
-    """Batched 27-neighbour tables [K, B, N] (impl-dispatched)."""
+    """Batched 27-neighbour tables [K, B, N] (impl-dispatched).
+
+    Returns (idx, hit, tiled-or-None)."""
     if _use_rank_kernel(key.shape[1], key.shape[1]):
         from ..ops.rank_pallas import neighbor_tables
 
-        return neighbor_tables(off, key, valid, offsets)
-    return jax.vmap(
+        return neighbor_tables(off, key, valid, offsets, return_tiled=True)
+    idx, hit = jax.vmap(
         partial(_neighbor_table_one, offsets=offsets),
         in_axes=(0, 0, 0), out_axes=(1, 1),
     )(off, key, valid)
+    return idx, hit, None
 
 
 def _child_tables(parent_off, parent_key, parent_valid, child_key, offsets,
                   stride=2):
-    """Batched strided kernel maps [K, B, Np] (impl-dispatched)."""
+    """Batched strided kernel maps [K, B, Np] (impl-dispatched).
+
+    Returns (idx, hit, tiled-or-None)."""
     is_pow2 = stride & (stride - 1) == 0
     if is_pow2 and _use_rank_kernel(child_key.shape[1],
                                     parent_key.shape[1]):
         from ..ops.rank_pallas import child_tables
 
         return child_tables(parent_off, parent_key, parent_valid, child_key,
-                            offsets, stride=stride)
-    return jax.vmap(
+                            offsets, stride=stride, return_tiled=True)
+    idx, hit = jax.vmap(
         partial(_child_table_one, offsets=offsets, stride=stride),
         in_axes=(0, 0, 0), out_axes=(1, 1),
     )(parent_off, parent_valid, child_key)
+    return idx, hit, None
 
 
 def _neighbor_table_one(off, key, valid, offsets):
@@ -130,12 +136,18 @@ def _downsample_one(off, key, valid, capacity, stride=2):
     """Unique parent voxels (stride-s floor division) for one item.
 
     Returns (parent SparseVoxels-like fields, parent_idx [N], octant [N]).
+
+    ONE argsort does everything: the sorted run index of each child's
+    parent key IS its parent's slot in the unique set, scattered back
+    through the sort permutation — no second searchsorted (sorts are the
+    dominant cost of hierarchy construction on TPU).
     """
     n = off.shape[0]
     p_off = off // stride
     p_key = jnp.where(valid, pack_key(p_off), KEY_PAD)
 
-    skey = jnp.sort(p_key)
+    order = jnp.argsort(p_key)
+    skey = p_key[order]
     first = jnp.concatenate([jnp.ones((1,), bool), skey[1:] != skey[:-1]])
     run_id = jnp.cumsum(first) - 1
     ok = (skey < KEY_PAD) & (run_id < capacity)
@@ -147,8 +159,9 @@ def _downsample_one(off, key, valid, capacity, stride=2):
     ukey = jnp.where(uvalid, ukey, KEY_PAD)
     uoff = jnp.where(uvalid[:, None], unpack_key(ukey), 0)
 
-    # child -> parent link
-    parent_idx, _ = _lookup(ukey, p_key)
+    # child -> parent link: scatter the run index back through the sort
+    parent_idx = jnp.zeros((n,), jnp.int32).at[order].set(
+        jnp.minimum(run_id, capacity - 1).astype(jnp.int32))
     octant = (((off[:, 0] % stride) << 2) | ((off[:, 1] % stride) << 1)
               | (off[:, 2] % stride))
     octant = jnp.where(valid, octant, 0).astype(jnp.int32)
@@ -198,6 +211,11 @@ class Level:
     octant: Optional[jax.Array] = None
     child_idx: Optional[jax.Array] = None
     child_hit: Optional[jax.Array] = None
+    # conv-ready tiled map packs (pallas impl only): tuples
+    # (idx_t, hit_t, starts, nchunks) from ops/rank_pallas.py — every conv
+    # on the level shares them and skips per-call map preparation
+    nbr_tiled: Optional[tuple] = None
+    child_tiled: Optional[tuple] = None
 
 
 def build_hierarchy(voxels: SparseVoxels, depth: int,
@@ -229,26 +247,24 @@ def build_hierarchy(voxels: SparseVoxels, depth: int,
         uoff, ukey, uvalid, ucount, parent_idx, octant = jax.vmap(
             partial(_downsample_one, capacity=cap)
         )(cur.off, cur.key, cur.valid)
-        child_idx, child_hit = jax.vmap(
-            _child_table_one, in_axes=(0, 0, 0), out_axes=(1, 1)
-        )(uoff, uvalid, cur.key)
+        child_idx, child_hit, child_tiled = _child_tables(
+            uoff, ukey, uvalid, cur.key, K2_OFFSETS)
         cur = dataclasses.replace(cur, parent_idx=parent_idx, octant=octant)
         if build_k3:
-            nbr_idx, nbr_hit = jax.vmap(
-                partial(_neighbor_table_one, offsets=K3_OFFSETS),
-                in_axes=(0, 0, 0), out_axes=(1, 1),
-            )(cur.off, cur.key, cur.valid)
-            cur = dataclasses.replace(cur, nbr_idx=nbr_idx, nbr_hit=nbr_hit)
+            nbr_idx, nbr_hit, nbr_tiled = _neighbor_tables(
+                cur.off, cur.key, cur.valid, K3_OFFSETS)
+            cur = dataclasses.replace(cur, nbr_idx=nbr_idx, nbr_hit=nbr_hit,
+                                      nbr_tiled=nbr_tiled)
         levels.append(cur)
         cur = Level(off=uoff, key=ukey, valid=uvalid, count=ucount,
-                    child_idx=child_idx, child_hit=child_hit)
+                    child_idx=child_idx, child_hit=child_hit,
+                    child_tiled=child_tiled)
 
     if build_k3:
-        nbr_idx, nbr_hit = jax.vmap(
-            partial(_neighbor_table_one, offsets=K3_OFFSETS),
-            in_axes=(0, 0, 0), out_axes=(1, 1),
-        )(cur.off, cur.key, cur.valid)
-        cur = dataclasses.replace(cur, nbr_idx=nbr_idx, nbr_hit=nbr_hit)
+        nbr_idx, nbr_hit, nbr_tiled = _neighbor_tables(
+            cur.off, cur.key, cur.valid, K3_OFFSETS)
+        cur = dataclasses.replace(cur, nbr_idx=nbr_idx, nbr_hit=nbr_hit,
+                                  nbr_tiled=nbr_tiled)
     levels.append(cur)
     return tuple(levels)
 
@@ -272,17 +288,15 @@ def downsample_level(level: Level, capacity: int, stride: int = 2,
     uoff, ukey, uvalid, ucount, parent_idx, octant = jax.vmap(
         partial(_downsample_one, capacity=capacity, stride=stride)
     )(level.off, level.key, level.valid)
-    child_idx, child_hit = jax.vmap(
-        partial(_child_table_one, offsets=offsets, stride=stride),
-        in_axes=(0, 0, 0), out_axes=(1, 1),
-    )(uoff, uvalid, level.key)
+    child_idx, child_hit, child_tiled = _child_tables(
+        uoff, ukey, uvalid, level.key, offsets, stride=stride)
     fine = dataclasses.replace(level, parent_idx=parent_idx, octant=octant)
     coarse = Level(off=uoff, key=ukey, valid=uvalid, count=ucount,
-                   child_idx=child_idx, child_hit=child_hit)
+                   child_idx=child_idx, child_hit=child_hit,
+                   child_tiled=child_tiled)
     if build_k3:
-        nbr_idx, nbr_hit = jax.vmap(
-            partial(_neighbor_table_one, offsets=K3_OFFSETS),
-            in_axes=(0, 0, 0), out_axes=(1, 1),
-        )(coarse.off, coarse.key, coarse.valid)
-        coarse = dataclasses.replace(coarse, nbr_idx=nbr_idx, nbr_hit=nbr_hit)
+        nbr_idx, nbr_hit, nbr_tiled = _neighbor_tables(
+            coarse.off, coarse.key, coarse.valid, K3_OFFSETS)
+        coarse = dataclasses.replace(coarse, nbr_idx=nbr_idx,
+                                     nbr_hit=nbr_hit, nbr_tiled=nbr_tiled)
     return fine, coarse

@@ -43,10 +43,19 @@ def main():
     capacity = int(os.environ.get("BENCH_POINTS", 16384))
     impl = os.environ.get("CONV_IMPL", "auto")
 
+    from bench import measure_seg_caps
+
+    pts0, rgb0, mask0 = build_inputs(batch, capacity)
+    seg_caps = measure_seg_caps(pts0, rgb0, mask0)
+    print(f"# seg caps {seg_caps}")
     cfg = InferenceConfig(
-        point_capacity=capacity, seg_voxel_capacity=6144,
+        point_capacity=capacity, seg_voxel_capacity=seg_caps[0],
+        seg_hierarchy_caps=seg_caps[1:],
         ee_point_capacity=2048, ee_voxel_capacity=2048,
-        kp_voxel_capacity=2048, icp_iterations=15, icp_template_points=1024,
+        kp_voxel_capacity=1024,
+        ee_hierarchy_caps=(1024, 384, 128, 128),
+        kp_hierarchy_caps=(768, 640, 384, 128),
+        icp_iterations=15, icp_template_points=1024,
         conv_impl=impl)
     engine = InferenceEngine(cfg, seed=0)
     print(f"# conv_impl={engine._conv_impl} B={batch} P={capacity}")
@@ -57,7 +66,10 @@ def main():
     rows = []
 
     # ---- seg-stage sub-pieces
-    caps = engine._hierarchy_caps(cfg.seg_voxel_capacity)
+    caps = engine._hierarchy_caps(cfg.seg_voxel_capacity,
+                                  cfg.seg_hierarchy_caps)
+
+    caps_all = (cfg.seg_voxel_capacity,) + tuple(cfg.seg_hierarchy_caps)
 
     @jax.jit
     def f_vox(pts, rgb, mask):
@@ -67,10 +79,13 @@ def main():
     dt, (vox, pv, _) = timeit(f_vox, (pts, rgb, mask))
     rows.append(("voxelize(seg)", dt))
 
-    @jax.jit
-    @jax.jit
+    from mrcc_tpu.sparse.impl import sparse_impl
+
     def f_hier2(vox):
-        return build_hierarchy(vox, 4, capacities=caps)
+        with sparse_impl(engine._conv_impl):
+            return build_hierarchy(vox, 4, capacities=caps)
+
+    f_hier2 = jax.jit(f_hier2)
 
     dt, levels = timeit(f_hier2, (vox,))
     rows.append(("hierarchy(seg)", dt))
@@ -98,7 +113,7 @@ def main():
     dt, seg_out = timeit(engine._seg_jit,
                          (engine.params["segmentation"], pts, rgb, mask))
     rows.append(("STAGE seg total", dt))
-    _, _, ee_pts, ee_rgb, ee_valid = seg_out
+    _, _, ee_pts, ee_rgb, ee_valid, _ = seg_out
 
     dt, pose_out = timeit(engine._pose_jit,
                           (engine.params["rotation"], ee_pts, ee_rgb,
