@@ -72,7 +72,7 @@ def _rank_call(keys, qbase, qvalid_t, starts, nchunks, deltas, t, w, kp):
         bi = pl.program_id(0)
         ti = pl.program_id(1)
         iota_w = jax.lax.broadcasted_iota(jnp.int32, (t, w), 1)
-        qtile = qbase_ref[0, pl.ds(ti * t, t)]
+        qtile = qbase_ref[bi, pl.ds(ti * t, t)]
 
         for k in range(kp):
             if k < k_real:
@@ -86,7 +86,7 @@ def _rank_call(keys, qbase, qvalid_t, starts, nchunks, deltas, t, w, kp):
                     rank, eq = carry
                     wst = pl.multiple_of(
                         jnp.minimum(st + ci * w, n - w), 8)
-                    window = keys_ref[0, pl.ds(wst, w)]        # [W]
+                    window = keys_ref[bi, pl.ds(wst, w)]       # [W]
                     pos = wst + iota_w[0]                       # [W]
                     seg = ((pos >= st + ci * w)
                            & (pos < st + (ci + 1) * w))[None, :]
@@ -110,9 +110,13 @@ def _rank_call(keys, qbase, qvalid_t, starts, nchunks, deltas, t, w, kp):
         num_scalar_prefetch=2,
         grid=(b, nt),
         in_specs=[
-            pl.BlockSpec((1, n), lambda bi, ti, s1, s2: (bi, 0),
+            # full-batch blocks: Mosaic requires the last two block dims
+            # be (x8, x128)-divisible or equal to the array dims — a
+            # (1, N) per-item block violates the sublane rule, so keep the
+            # whole [B, N] key table resident and row-index inside
+            pl.BlockSpec((b, n), lambda bi, ti, s1, s2: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nq), lambda bi, ti, s1, s2: (bi, 0),
+            pl.BlockSpec((b, nq), lambda bi, ti, s1, s2: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, kp, t), lambda bi, ti, s1, s2:
                          (bi, ti, 0, 0), memory_space=pltpu.VMEM),
