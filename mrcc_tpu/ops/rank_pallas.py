@@ -84,8 +84,9 @@ def _rank_call(keys, qbase, qvalid_t, starts, nchunks, deltas, t, w, kp):
 
                 def chunk(ci, carry):
                     rank, eq = carry
+                    # lane-dim slices must be 128-aligned (st, w, n are)
                     wst = pl.multiple_of(
-                        jnp.minimum(st + ci * w, n - w), 8)
+                        jnp.minimum(st + ci * w, n - w), 128)
                     window = keys_ref[bi, pl.ds(wst, w)]       # [W]
                     pos = wst + iota_w[0]                       # [W]
                     seg = ((pos >= st + ci * w)
@@ -175,7 +176,8 @@ def rank_lookup(keys, qbase, deltas, qvalid, t=None, w=None,
 
     ends = jnp.concatenate([ranks[:, :, 1:],
                             jnp.full((k, b, 1), n, jnp.int32)], axis=-1)
-    starts = jnp.clip(ranks - (ranks % 8), 0, max(n - w, 0))
+    # 128-aligned starts: Mosaic lane-dimension slices require it
+    starts = jnp.clip(ranks - (ranks % 128), 0, max(n - w, 0))
     span = jnp.maximum(ends - starts, 0)
     nchunks = jnp.minimum(span // w + 1, -(-n // w))
 

@@ -69,9 +69,9 @@ def _use_rank_kernel(n_keys, n_queries) -> bool:
     no sorts) when the pallas impl is active and shapes tile."""
     if _current_impl() != "pallas":
         return False
-    from ..ops.rank_pallas import _pick_tile
-
-    return _pick_tile(n_queries) >= 8 and n_keys >= 8 and n_keys % 8 == 0
+    # the kernel's lane-dimension slices require 128-aligned shapes
+    return (n_queries % 128 == 0 and n_keys % 128 == 0
+            and n_queries >= 128 and n_keys >= 128)
 
 
 def _neighbor_tables(off, key, valid, offsets):
