@@ -66,13 +66,17 @@ def _rank_call(keys, qbase, qvalid_t, starts, nchunks, deltas, t, w, kp):
     nt = nq // t
     deltas_np = np.asarray(deltas, np.int32)
     k_real = len(deltas_np)
+    # compiled Mosaic lane slices need 128-aligned offsets (the
+    # multiple_of hints below assert it); interpret mode is lenient
+    assert _interpret() or (t % 128 == 0 and w % 128 == 0
+                            and n % 128 == 0), (t, w, n)
 
     def kernel(starts_ref, nchunks_ref, keys_ref, qbase_ref, qvalid_ref,
                idx_ref, hit_ref):
         bi = pl.program_id(0)
         ti = pl.program_id(1)
         iota_w = jax.lax.broadcasted_iota(jnp.int32, (t, w), 1)
-        qtile = qbase_ref[bi, pl.ds(ti * t, t)]
+        qtile = qbase_ref[bi, pl.ds(pl.multiple_of(ti * t, 128), t)]
 
         for k in range(kp):
             if k < k_real:
