@@ -10,3 +10,4 @@ from .analysis import (  # noqa: F401
     embedding_export,
     error_histograms,
 )
+from .html_viewer import write_html_viewer  # noqa: F401

@@ -67,3 +67,31 @@ def test_embedding_export(tmp_path):
     np.testing.assert_allclose(back, emb, rtol=1e-4, atol=1e-5)
     lines = open(meta).read().strip().split("\n")
     assert lines[0] == "Index\tLabel" and len(lines) == 13
+
+
+def test_html_viewer(tmp_path):
+    from mrcc_tpu.viz import write_html_viewer
+
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(500, 3)).astype(np.float32)
+    rgb = rng.random((500, 3)).astype(np.float32)
+    seg = rng.integers(0, 3, 500)
+    path = write_html_viewer(str(tmp_path / "v.html"), pts, rgb, seg)
+    html = open(path).read()
+    assert "webgl" in html and "drawArrays" in html
+    # the embedded buffer decodes back to the points
+    import base64
+    b64 = html.split('atob("')[1].split('")')[0]
+    back = np.frombuffer(base64.b64decode(b64), np.float32).reshape(-1, 3)
+    np.testing.assert_allclose(back, pts, rtol=1e-6)
+
+
+def test_html_viewer_subsamples(tmp_path):
+    from mrcc_tpu.viz import write_html_viewer
+
+    pts = np.zeros((5000, 3), np.float32)
+    path = write_html_viewer(str(tmp_path / "v.html"), pts, max_points=1000)
+    html = open(path).read()
+    import base64
+    b64 = html.split('atob("')[1].split('")')[0]
+    assert len(base64.b64decode(b64)) == 1000 * 12
