@@ -76,7 +76,7 @@ def _rank_call(keys, qbase, qvalid_t, starts, nchunks, deltas, t, w, kp):
         bi = pl.program_id(0)
         ti = pl.program_id(1)
         iota_w = jax.lax.broadcasted_iota(jnp.int32, (t, w), 1)
-        qtile = qbase_ref[bi, pl.ds(pl.multiple_of(ti * t, 128), t)]
+        qtile = qbase_ref[0, 0, pl.ds(pl.multiple_of(ti * t, 128), t)]
 
         for k in range(kp):
             if k < k_real:
@@ -91,7 +91,7 @@ def _rank_call(keys, qbase, qvalid_t, starts, nchunks, deltas, t, w, kp):
                     # lane-dim slices must be 128-aligned (st, w, n are)
                     wst = pl.multiple_of(
                         jnp.minimum(st + ci * w, n - w), 128)
-                    window = keys_ref[bi, pl.ds(wst, w)]       # [W]
+                    window = keys_ref[0, 0, pl.ds(wst, w)]     # [W]
                     pos = wst + iota_w[0]                       # [W]
                     seg = ((pos >= st + ci * w)
                            & (pos < st + (ci + 1) * w))[None, :]
@@ -115,13 +115,13 @@ def _rank_call(keys, qbase, qvalid_t, starts, nchunks, deltas, t, w, kp):
         num_scalar_prefetch=2,
         grid=(b, nt),
         in_specs=[
-            # full-batch blocks: Mosaic requires the last two block dims
-            # be (x8, x128)-divisible or equal to the array dims — a
-            # (1, N) per-item block violates the sublane rule, so keep the
-            # whole [B, N] key table resident and row-index inside
-            pl.BlockSpec((b, n), lambda bi, ti, s1, s2: (0, 0),
+            # [B, 1, N] layout: the singleton middle dim satisfies
+            # Mosaic's block rule (block dim == array dim) and makes the
+            # per-item row index static — dynamic sublane indexing is not
+            # supported for vector loads
+            pl.BlockSpec((1, 1, n), lambda bi, ti, s1, s2: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, nq), lambda bi, ti, s1, s2: (0, 0),
+            pl.BlockSpec((1, 1, nq), lambda bi, ti, s1, s2: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, kp, t), lambda bi, ti, s1, s2:
                          (bi, ti, 0, 0), memory_space=pltpu.VMEM),
@@ -139,7 +139,7 @@ def _rank_call(keys, qbase, qvalid_t, starts, nchunks, deltas, t, w, kp):
                    jax.ShapeDtypeStruct((b, nt, kp, t), jnp.int32)],
         grid_spec=grid_spec,
         interpret=_interpret(),
-    )(starts, nchunks, keys, qbase, qvalid_t)
+    )(starts, nchunks, keys[:, None, :], qbase[:, None, :], qvalid_t)
 
 
 def rank_lookup(keys, qbase, deltas, qvalid, t=None, w=None,
