@@ -87,7 +87,10 @@ def _rank_call(keys, qbase, qvalid_t, starts, nchunks, deltas, t, w, kp):
                 nch = nchunks_ref[flat]
 
                 def chunk(ci, carry):
-                    rank, eq = carry
+                    # single int32 carry (Mosaic cannot legalize tuple
+                    # loop carries): carry = rank << 1 | eq
+                    rank = carry >> 1
+                    eq = carry & 1
                     # lane-dim slices must be 128-aligned (st, w, n are)
                     wst = pl.multiple_of(
                         jnp.minimum(st + ci * w, n - w), 128)
@@ -98,15 +101,16 @@ def _rank_call(keys, qbase, qvalid_t, starts, nchunks, deltas, t, w, kp):
                     cmp_lt = (window[None, :] < q[:, None]) & seg
                     cmp_eq = (window[None, :] == q[:, None]) & seg
                     rank = rank + cmp_lt.astype(jnp.int32).sum(axis=1)
-                    eq = eq | cmp_eq.any(axis=1)
-                    return rank, eq
+                    eq = eq | cmp_eq.astype(jnp.int32).max(axis=1)
+                    return (rank << 1) | eq
 
-                rank0 = jnp.zeros((t,), jnp.int32)
-                eq0 = jnp.zeros((t,), bool)
-                rank, eq = jax.lax.fori_loop(0, nch, chunk, (rank0, eq0))
+                carry = jax.lax.fori_loop(0, nch, chunk,
+                                          jnp.zeros((t,), jnp.int32))
+                rank = carry >> 1
+                eq = carry & 1
                 valid = qvalid_ref[0, 0, k, :] != 0
                 idx_ref[0, 0, k, :] = jnp.minimum(st + rank, n - 1)
-                hit_ref[0, 0, k, :] = (eq & valid).astype(jnp.int32)
+                hit_ref[0, 0, k, :] = jnp.where(valid, eq, 0)
             else:
                 idx_ref[0, 0, k, :] = jnp.zeros((t,), jnp.int32)
                 hit_ref[0, 0, k, :] = jnp.zeros((t,), jnp.int32)
