@@ -30,6 +30,13 @@ def main():
                     help="backbone for the demo nets (14A trains fast; "
                          "use 'minkunet' for the flagship 18D)")
     ap.add_argument("--bench-samples", type=int, default=15)
+    ap.add_argument("--ee-mult", type=int, default=6,
+                    help="EE-crop sample multiplier (rotation regression "
+                         "needs far more pose coverage than segmentation; "
+                         "round-1 scaling analysis: ~2000 crops needed)")
+    ap.add_argument("--pose-epochs", type=int, default=None,
+                    help="epochs for the rotation/keypoint heads "
+                         "(default: --epochs)")
     args = ap.parse_args()
 
     import jax
@@ -50,7 +57,8 @@ def main():
     # EE-dominant samples for pose diversity (rotation regression needs far
     # more pose coverage than segmentation does)
     ee_samples = [generate_sample(seed=20000 + i, n_ee=2048, n_arm=96,
-                                  n_bg=96) for i in range(args.samples * 6)]
+                                  n_bg=96)
+                  for i in range(args.samples * args.ee_mult)]
     tc = TrainConfig(lr=1e-3, batch_size=args.batch, epochs=args.epochs,
                      save_freq=max(args.epochs // 2, 1))
 
@@ -82,7 +90,7 @@ def main():
         voxel_capacity=2048)
     rtrainer = Trainer(rot_model, rot_ds, rstep, ropt, tc,
                        exp_path=f"{args.out}/rotation", exp_name="rot")
-    rhist = rtrainer.fit(epochs=args.epochs)
+    rhist = rtrainer.fit(epochs=args.pose_epochs or args.epochs)
     print(f"rot: loss {rhist[0]['loss']:.3f} -> {rhist[-1]['loss']:.3f} "
           f"({time.time()-t0:.0f}s)", flush=True)
     rot_state = rtrainer.state
@@ -99,7 +107,7 @@ def main():
                                                voxel_capacity=4096)
     ktrainer = Trainer(kp_model, kp_ds, kstep, kopt, tc,
                        exp_path=f"{args.out}/key_points", exp_name="kp")
-    khist = ktrainer.fit(epochs=args.epochs)
+    khist = ktrainer.fit(epochs=args.pose_epochs or args.epochs)
     print(f"kp: loss {khist[0]['loss']:.3f} -> {khist[-1]['loss']:.3f} "
           f"({time.time()-t0:.0f}s)", flush=True)
     kp_state = ktrainer.state
