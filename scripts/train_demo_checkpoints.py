@@ -74,8 +74,11 @@ def main():
     trainer = Trainer(seg_model, seg_ds, step, opt, tc,
                       exp_path=f"{args.out}/segmentation", exp_name="seg")
     hist = trainer.fit(epochs=args.epochs)
-    print(f"seg: loss {hist[0]['loss']:.3f} -> {hist[-1]['loss']:.3f} "
-          f"({time.time()-t0:.0f}s)", flush=True)
+    if hist:
+        print(f"seg: loss {hist[0]['loss']:.3f} -> {hist[-1]['loss']:.3f} "
+              f"({time.time()-t0:.0f}s)", flush=True)
+    else:
+        print(f"seg: restored from checkpoint", flush=True)
     seg_state = trainer.state
 
     # ---------------- rotation (EE crops, 7-DoF, cos2)
@@ -91,8 +94,11 @@ def main():
     rtrainer = Trainer(rot_model, rot_ds, rstep, ropt, tc,
                        exp_path=f"{args.out}/rotation", exp_name="rot")
     rhist = rtrainer.fit(epochs=args.pose_epochs or args.epochs)
-    print(f"rot: loss {rhist[0]['loss']:.3f} -> {rhist[-1]['loss']:.3f} "
-          f"({time.time()-t0:.0f}s)", flush=True)
+    if rhist:
+        print(f"rot: loss {rhist[0]['loss']:.3f} -> {rhist[-1]['loss']:.3f} "
+              f"({time.time()-t0:.0f}s)", flush=True)
+    else:
+        print(f"rot: restored from checkpoint", flush=True)
     rot_state = rtrainer.state
 
     # ---------------- keypoints (EE crops, 6 classes, sparse path, scale 800)
@@ -108,16 +114,23 @@ def main():
     ktrainer = Trainer(kp_model, kp_ds, kstep, kopt, tc,
                        exp_path=f"{args.out}/key_points", exp_name="kp")
     khist = ktrainer.fit(epochs=args.pose_epochs or args.epochs)
-    print(f"kp: loss {khist[0]['loss']:.3f} -> {khist[-1]['loss']:.3f} "
-          f"({time.time()-t0:.0f}s)", flush=True)
+    if khist:
+        print(f"kp: loss {khist[0]['loss']:.3f} -> {khist[-1]['loss']:.3f} "
+              f"({time.time()-t0:.0f}s)", flush=True)
+    else:
+        print(f"kp: restored from checkpoint", flush=True)
     kp_state = ktrainer.state
 
     # ---------------- wire into the engine + benchmark
     from mrcc_tpu.app import InferenceConfig, InferenceEngine, SyntheticDataEngine
     from mrcc_tpu.eval.benchmark import BenchmarkApp
 
+    # honest capacities (occupancy-measured for 16k-pt synthetic scenes;
+    # saturated buffers silently drop voxels)
     icfg = InferenceConfig(
-        point_capacity=16384, seg_voxel_capacity=8192, ee_point_capacity=4096,
+        point_capacity=16384, seg_voxel_capacity=12288,
+        seg_hierarchy_caps=(9856, 6400, 2816, 896),
+        ee_point_capacity=4096,
         ee_voxel_capacity=2048, kp_voxel_capacity=4096,
         seg_backbone=args.backbone, rot_backbone=args.backbone,
         kp_backbone=args.backbone, icp_iterations=15, icp_template_points=1024,
