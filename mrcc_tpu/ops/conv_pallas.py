@@ -269,7 +269,14 @@ def gather_gemm_conv(feats, weights, nbr_idx, nbr_hit, out_valid, bias=None,
 
 
 def supported(nbr_idx, feats) -> bool:
-    """Whether the Pallas kernel handles these shapes (else use XLA path)."""
+    """Whether the Pallas kernel handles these shapes (else use XLA path).
+
+    Very large tables cannot fit VMEM even at the 128-lane channel-split
+    floor (N * 128 lanes * itemsize must stay inside the budget) — those
+    levels fall back to the XLA gather path."""
     n_out = nbr_idx.shape[-1]
-    n = feats.shape[-2]
+    n, c = feats.shape[-2], feats.shape[-1]
+    itemsize = jnp.dtype(feats.dtype).itemsize
+    if n * min(c, 128) * itemsize > _TABLE_BUDGET:
+        return False
     return _pick_tile(n_out) >= 8 and n >= 8
