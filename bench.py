@@ -24,13 +24,19 @@ import numpy as np
 
 
 def build_inputs(batch, capacity, seed=0):
+    """Scenes whose REAL point count scales with the capacity (a 131k-pt
+    production profile must contain ~131k points, not 12k + padding)."""
     from mrcc_tpu.data.synthetic import generate_sample
 
+    n_ee = max(capacity // 8, 512)
+    n_arm = max(capacity * 3 // 16, 1024)
+    n_bg = max(capacity * 7 // 16, 2048)
     pts = np.zeros((batch, capacity, 3), np.float32)
     rgb = np.zeros((batch, capacity, 3), np.float32)
     mask = np.zeros((batch, capacity), bool)
     for i in range(batch):
-        s = generate_sample(seed=seed + i, n_ee=2048, n_arm=3000, n_bg=7000)
+        s = generate_sample(seed=seed + i, n_ee=n_ee, n_arm=n_arm,
+                            n_bg=n_bg)
         n = min(len(s["points"]), capacity)
         pts[i, :n] = s["points"][:n]
         rgb[i, :n] = s["rgb"][:n]
@@ -86,15 +92,18 @@ def main():
     print(f"# measured seg hierarchy capacities: {seg_caps}",
           file=sys.stderr)
 
+    big = capacity > 32768  # production profile: EE crops scale too
     cfg = InferenceConfig(
         point_capacity=capacity,
         seg_voxel_capacity=seg_caps[0],
         seg_hierarchy_caps=seg_caps[1:],
-        ee_point_capacity=2048,
-        ee_voxel_capacity=2048,
-        kp_voxel_capacity=1024,
-        ee_hierarchy_caps=(1024, 384, 128, 128),
-        kp_hierarchy_caps=(768, 640, 384, 128),
+        ee_point_capacity=8192 if big else 2048,
+        ee_voxel_capacity=8192 if big else 2048,
+        kp_voxel_capacity=4096 if big else 1024,
+        ee_hierarchy_caps=(4096, 1536, 512, 128) if big
+        else (1024, 384, 128, 128),
+        kp_hierarchy_caps=(3072, 2560, 1536, 512) if big
+        else (768, 640, 384, 128),
         icp_iterations=15,
         icp_template_points=1024,
     )
