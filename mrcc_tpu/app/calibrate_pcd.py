@@ -21,27 +21,44 @@ from .main import MainApp
 
 
 class DirectoryDataEngine(DataEngineInterface):
-    """Frames from a directory: ``*.pickle`` samples, or ``*_points.npy`` +
-    ``*_rgb.npy`` (+ optional ``*_pose.npy`` ee2base XYZW sidecar)."""
+    """Frames from a directory: ``*.pcd`` (+ ``*_pose.npy`` ee2base XYZW
+    sidecars — the reference PCDDataEngine layout, data_engine.py:161-204),
+    ``*.pickle`` samples, or ``*_points.npy`` + ``*_rgb.npy`` pairs."""
 
     def __init__(self, directory: str):
         self.items = sorted(glob.glob(os.path.join(directory, "*.pickle")))
         self.npy_items = sorted(glob.glob(os.path.join(directory,
                                                        "*_points.npy")))
+        self.pcd_items = sorted(glob.glob(os.path.join(directory, "*.pcd")))
         self._i = 0
 
+    def _get_pcd(self, j):
+        from ..data.rgbd import read_pcd
+
+        path = self.pcd_items[j]
+        points, rgb = read_pcd(path)
+        pose = None
+        sidecar = os.path.splitext(path)[0] + "_pose.npy"
+        if os.path.isfile(sidecar):
+            pose = _xyzw_to_wxyz(np.load(sidecar))
+        self._i += 1
+        return PointCloudDTO(points=points, rgb=rgb, ee2base_pose=pose,
+                             id=f"f{self._i}")
+
     def get(self):
-        if self._i < len(self.items):
+        if self._i < len(self.pcd_items):
+            return self._get_pcd(self._i)
+        if self._i - len(self.pcd_items) < len(self.items):
             from ..data.dataset import load_sample
 
-            s = load_sample(self.items[self._i])
+            s = load_sample(self.items[self._i - len(self.pcd_items)])
             self._i += 1
             return PointCloudDTO(
                 points=np.asarray(s["points"], np.float32),
                 rgb=np.asarray(s["rgb"], np.float32),
                 ee2base_pose=s.get("ee2base_pose"),
                 id=f"f{self._i}")
-        j = self._i - len(self.items)
+        j = self._i - len(self.pcd_items) - len(self.items)
         if j < len(self.npy_items):
             base = self.npy_items[j][: -len("_points.npy")]
             points = np.load(base + "_points.npy")

@@ -122,3 +122,64 @@ def write_ply(path, cloud):
             else:
                 f.write(f"{p[0]:.6g} {p[1]:.6g} {p[2]:.6g}\n")
     return path
+
+
+def read_pcd(path):
+    """Minimal PCD v0.7 reader (ascii + binary), no Open3D.
+
+    Supports the Kinect layout the reference's PCDDataEngine consumes
+    (app/data_engine.py:161-204): x/y/z float32 (+ optional packed ``rgb``
+    float). Returns (points [N, 3] f32, rgb [N, 3] f32 in [0, 1]).
+    """
+    with open(path, "rb") as f:
+        header = {}
+        while True:
+            line = f.readline().decode("ascii", "ignore").strip()
+            if not line or line.startswith("#"):
+                continue
+            key, _, val = line.partition(" ")
+            header[key.upper()] = val
+            if key.upper() == "DATA":
+                break
+        fields = header["FIELDS"].split()
+        sizes = [int(s) for s in header["SIZE"].split()]
+        counts = [int(c) for c in header.get(
+            "COUNT", " ".join(["1"] * len(fields))).split()]
+        n = int(header["POINTS"])
+        fmt = header["DATA"]
+
+        offs, off = {}, 0
+        for name, size, count in zip(fields, sizes, counts):
+            offs[name] = off
+            off += size * count
+        step = off
+
+        if fmt == "ascii":
+            rows = np.loadtxt(f, dtype=np.float64, max_rows=n)
+            rows = np.atleast_2d(rows)
+            cols = {name: rows[:, i] for i, name in enumerate(fields)}
+            pts = np.stack([cols["x"], cols["y"], cols["z"]],
+                           axis=1).astype(np.float32)
+            rgb_col = cols.get("rgb")
+            packed = (None if rgb_col is None
+                      else rgb_col.astype(np.float32).view(np.uint32))
+        elif fmt == "binary":
+            raw = np.frombuffer(f.read(n * step), np.uint8).reshape(n, step)
+
+            def f32(name):
+                o = offs[name]
+                return raw[:, o:o + 4].copy().view(np.float32)[:, 0]
+
+            pts = np.stack([f32("x"), f32("y"), f32("z")], axis=1)
+            packed = (raw[:, offs["rgb"]:offs["rgb"] + 4].copy().view(
+                np.uint32)[:, 0] if "rgb" in offs else None)
+        else:
+            raise ValueError(f"unsupported PCD DATA format: {fmt}")
+
+    if packed is None:
+        rgb = np.zeros_like(pts)
+    else:
+        rgb = np.stack([(packed >> 16) & 0xFF, (packed >> 8) & 0xFF,
+                        packed & 0xFF], axis=1).astype(np.float32) / 255.0
+    ok = np.isfinite(pts).all(axis=1)
+    return pts[ok].astype(np.float32), rgb[ok].astype(np.float32)
