@@ -215,7 +215,7 @@ def gather_gemm_conv_tiled(feats, weights, tiled, out_valid, bias=None,
     cout = weights.shape[-1]
 
     itemsize = jnp.dtype(feats.dtype).itemsize
-    if n * c * itemsize > _TABLE_BUDGET:
+    if n * _padded_lanes(c) * itemsize > _TABLE_BUDGET:
         c_g = max(128, (_TABLE_BUDGET // (n * itemsize)) // 128 * 128)
     else:
         c_g = c
@@ -268,15 +268,21 @@ def gather_gemm_conv(feats, weights, nbr_idx, nbr_hit, out_valid, bias=None,
                                   w_width=w_width)
 
 
+def _padded_lanes(c: int) -> int:
+    """VMEM lane padding: blocks occupy round_up(C, 128) lanes."""
+    return max(128, -(-c // 128) * 128)
+
+
 def supported(nbr_idx, feats) -> bool:
     """Whether the Pallas kernel handles these shapes (else use XLA path).
 
     Very large tables cannot fit VMEM even at the 128-lane channel-split
-    floor (N * 128 lanes * itemsize must stay inside the budget) — those
-    levels fall back to the XLA gather path."""
+    floor (N * 128 padded lanes * itemsize must stay inside the budget;
+    Mosaic pads the lane dimension to 128) — those levels fall back to
+    the XLA gather path."""
     n_out = nbr_idx.shape[-1]
-    n, c = feats.shape[-2], feats.shape[-1]
+    n = feats.shape[-2]
     itemsize = jnp.dtype(feats.dtype).itemsize
-    if n * min(c, 128) * itemsize > _TABLE_BUDGET:
+    if n * 128 * itemsize > _TABLE_BUDGET:
         return False
     return _pick_tile(n_out) >= 8 and n >= 8
