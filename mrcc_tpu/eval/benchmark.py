@@ -10,6 +10,7 @@ per-position calibration; write the summary workbook
 
 from __future__ import annotations
 
+import re
 from collections import defaultdict
 from typing import Optional
 
@@ -37,6 +38,22 @@ class BenchmarkApp:
         self.ignore_unconfident = ignore_unconfident
         self.add_points = default_template(512)
 
+    @staticmethod
+    def _position_of(raw) -> str:
+        """Grouping key for per-position sections (app/test.py:227-236).
+
+        Prefer an explicit position field from the sample metadata; else a
+        ``pN`` prefix of the frame id (ids like ``p2_f13``); else one group
+        — per-frame ids must not each become their own 'position' block."""
+        other = getattr(raw, "other", None) or {}
+        if isinstance(other, dict) and other.get("position"):
+            return str(other["position"])
+        rid = str(raw.id or "")
+        m = re.match(r"^(p\d+)", rid)
+        if m:
+            return m.group(1)
+        return "all"
+
     def run(self, out_path: Optional[str] = None):
         metrics = defaultdict(list)
         position_metrics = defaultdict(lambda: defaultdict(list))
@@ -47,7 +64,7 @@ class BenchmarkApp:
             if raw is None:
                 break
             result = self.engine.predict(raw)
-            position = raw.id or "p1"
+            position = self._position_of(raw)
 
             def record(name, value):
                 metrics[name].append(value)

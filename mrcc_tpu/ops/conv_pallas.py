@@ -285,4 +285,7 @@ def supported(nbr_idx, feats) -> bool:
     itemsize = jnp.dtype(feats.dtype).itemsize
     if n * 128 * itemsize > _TABLE_BUDGET:
         return False
-    return _pick_tile(n_out) >= 8 and n >= 8
+    # n % 8: window starts are clamped to n - w and asserted
+    # pl.multiple_of(st, 8); a non-multiple-of-8 capacity would violate the
+    # Mosaic alignment hint and could silently corrupt results (ADVICE r2)
+    return _pick_tile(n_out) >= 8 and n >= 8 and n % 8 == 0

@@ -125,6 +125,7 @@ def import_state_dict(state_dict, variables_template, k_perm=None,
     has_unet = any(p and p[0] == "unet" for p in flat["params"])
 
     imported = {c: dict(f) for c, f in flat.items()}
+    assigned = {c: set() for c in flat}
     unmatched = []
     for tkey, val in state_dict.items():
         tr = _translate_key(str(tkey))
@@ -150,11 +151,22 @@ def import_state_dict(state_dict, variables_template, k_perm=None,
                               coll, path))
             continue
         imported[coll][path] = arr.astype(np.asarray(target).dtype)
+        assigned[coll].add(path)
     if unmatched and strict:
         lines = "\n".join(f"  {k} -> {c}:{'/'.join(p)}"
                           for k, c, p in unmatched[:20])
         raise KeyError(f"{len(unmatched)} torch keys did not map onto the "
                        f"flax template:\n{lines}")
+    # the reverse direction: template params that NO checkpoint key wrote
+    # keep their random init — a silently-wrong model (ADVICE r2).  Under
+    # strict, require every template param to have been assigned.
+    missing = [(c, p) for c in ("params", "batch_stats")
+               for p in flat[c] if p not in assigned[c]]
+    if missing and strict:
+        lines = "\n".join(f"  {c}:{'/'.join(p)}" for c, p in missing[:20])
+        raise KeyError(
+            f"{len(missing)} template parameters received no value from the "
+            f"checkpoint (pass strict=False to keep their init):\n{lines}")
     out = {c: _unflatten(f) for c, f in imported.items()}
     for c in variables_template:
         out.setdefault(c, variables_template[c])
@@ -170,7 +182,14 @@ def import_pth_variables(path: str, variables_template, k_perm=None,
     """
     import torch
 
-    blob = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        # .pth files come from the untrusted upstream ecosystem; the
+        # weights-only loader refuses pickled code execution
+        blob = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        # legacy pickles (e.g. wrapped in custom classes) need the unsafe
+        # loader — only reached after the safe one failed
+        blob = torch.load(path, map_location="cpu", weights_only=False)
     state = blob.get("model_state_dict", blob) if isinstance(blob, dict) \
         else blob
     return import_state_dict(state, variables_template, k_perm=k_perm,
