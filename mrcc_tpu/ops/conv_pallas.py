@@ -47,9 +47,19 @@ def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
+# Lane budget for the [T, KG*C] gather scratch and the [KG*C, Cout] weight
+# block.  Sized so kg == K always holds after channel splitting (27 * 128):
+# with ONE offset group the weight block's index map is constant and Mosaic
+# keeps the weights VMEM-resident for the whole grid.  Round-2's kg cap of
+# 2048 lanes split offsets into n_kg >= 2 groups whose 1-2 MB weight blocks
+# re-DMA'd EVERY grid step — measured 30 of the 40 ms of each channel-split
+# decoder conv (scripts/bench_unet_convs.py marginal profile, round 3).
+_KG_LANES = 3456
+
+
 def _choose_kg(k: int, cin: int) -> int:
-    """Offset-group size: keep KG*Cin lanes around <=2048 (VMEM budget)."""
-    kg = max(1, min(k, 2048 // max(cin, 1)))
+    """Offset-group size (kg == k whenever k * cin <= _KG_LANES)."""
+    kg = max(1, min(k, _KG_LANES // max(cin, 1)))
     return kg
 
 
@@ -167,6 +177,33 @@ def _gather_gemm_call(idx_t, hit_t, starts, nchunks, feats, w_grp,
 _TABLE_BUDGET = 5 * 1024 * 1024
 
 
+def _split_plan(n, c, k, kp, itemsize):
+    """Channel-group / offset-group split shared by forward and dW kernels.
+
+    Channels split so that (a) the per-item table slice fits the VMEM
+    budget AND (b) all K offset weights fit one resident block
+    (k * c_g <= _KG_LANES, so n_kg == 1 on every real shape).
+
+    Returns (c_g, n_cg, c_pad, kg, n_kg)."""
+    c_g = c
+    # (b) weight residency: bound k * c_g
+    c_lane = max(128, (_KG_LANES // max(k, 1)) // 128 * 128)
+    if k * c_g > _KG_LANES:
+        c_g = min(c_g, c_lane)
+    # (a) table budget
+    if n * _padded_lanes(c_g) * itemsize > _TABLE_BUDGET:
+        c_g = min(c_g, max(128, (_TABLE_BUDGET // (n * itemsize))
+                           // 128 * 128))
+    n_cg = -(-c // c_g)
+    c_pad = n_cg * c_g
+    kg = min(_choose_kg(k, c_g), kp)
+    n_kg = -(-k // kg)
+    while n_kg * kg > kp:  # respect the map's KP padding
+        kg -= 1
+        n_kg = -(-k // kg)
+    return c_g, n_cg, c_pad, kg, n_kg
+
+
 def build_tiled_maps(nbr_idx, nbr_hit, n, t=None, w_width=None, kp=None):
     """Tiled kernel-map layout + per-(k, b, tile) window scalars.
 
@@ -215,18 +252,7 @@ def gather_gemm_conv_tiled(feats, weights, tiled, out_valid, bias=None,
     cout = weights.shape[-1]
 
     itemsize = jnp.dtype(feats.dtype).itemsize
-    if n * _padded_lanes(c) * itemsize > _TABLE_BUDGET:
-        c_g = max(128, (_TABLE_BUDGET // (n * itemsize)) // 128 * 128)
-    else:
-        c_g = c
-    n_cg = -(-c // c_g)
-    c_pad = n_cg * c_g
-
-    kg = min(_choose_kg(k, c_g), kp)
-    n_kg = -(-k // kg)
-    while n_kg * kg > kp:  # respect the map's KP padding
-        kg -= 1
-        n_kg = -(-k // kg)
+    c_g, n_cg, c_pad, kg, n_kg = _split_plan(n, c, k, kp, itemsize)
 
     if n_cg > 1:
         feats = jnp.pad(feats, ((0, 0), (0, 0), (0, c_pad - c)))
@@ -271,6 +297,191 @@ def gather_gemm_conv(feats, weights, nbr_idx, nbr_hit, out_valid, bias=None,
 def _padded_lanes(c: int) -> int:
     """VMEM lane padding: blocks occupy round_up(C, 128) lanes."""
     return max(128, -(-c // 128) * 128)
+
+
+# --------------------------------------------------------------- custom VJP
+#
+# Training on the kernel path (reference hot loop: train.py:39-151 /
+# minkunet.py:125-183 runs forward AND backward through MinkowskiEngine's
+# C++ conv).  The submanifold adjacency is symmetric, so both cotangents
+# are expressible with the SAME windowed kernels:
+#
+#   dfeats = conv(g, W')           over the REVERSE kernel map
+#            (k=3: same level map with W'[k] = W[K-1-k]^T;
+#             k=2 s=2 down <-> up: each other's map with W'[k] = W[k]^T)
+#   dW[k]  = sum_tiles gather_k(feats)^T @ g_tile   (dw kernel below)
+#
+# Only coordinate-derived maps have this symmetry — arbitrary synthetic
+# maps do not (tests use real hierarchies).
+
+
+@functools.partial(
+    jax.jit, static_argnames=("t", "w", "kg", "n_kg", "cout"))
+def _dw_call(idx_t, hit_t, starts, nchunks, feats, g, t, w, kg, n_kg, cout):
+    """dW accumulation kernel: dw[k] = sum_{b,tiles} gather_k(feats)^T @ g.
+
+    idx_t/hit_t: [B, nt, KP, T]; starts/nchunks: [KP*B*nt] (as forward).
+    feats: [B, N, C]; g: [B, n_out, Cout] (pre-masked by out_valid).
+    Returns [n_kg, kg*C, Cout] float32 (offset-major slices).
+
+    Grid order (kgi, bi, ti): the dw output block (index kgi) stays
+    VMEM-resident across all (b, tile) steps and is written back n_kg
+    times total; the feature table re-DMAs only when bi changes.
+    """
+    b, n, c = feats.shape
+    n_out = g.shape[1]
+    nt = n_out // t
+    kp = idx_t.shape[2]
+
+    def kernel(starts_ref, nchunks_ref, idx_ref, hit_ref, feats_ref, g_ref,
+               dw_ref):
+        kgi = pl.program_id(0)
+        bi = pl.program_id(1)
+        ti = pl.program_id(2)
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (t, w), 1)
+
+        @pl.when(jnp.logical_and(bi == 0, ti == 0))
+        def _():
+            dw_ref[0, :, :] = jnp.zeros_like(dw_ref[0, :, :])
+
+        gt = g_ref[0, :, :]                                   # [T, Cout]
+        for j in range(kg):
+            k = kgi * kg + j
+            flat = (k * pl.num_programs(1) + bi) * nt + ti
+            st = starts_ref[flat]
+            nch = nchunks_ref[flat]
+            local0 = idx_ref[0, 0, k, :] - st
+            hit = hit_ref[0, 0, k, :]
+            base = (local0[:, None] == iota_w) & (hit[:, None] != 0)
+            window0 = feats_ref[0, pl.ds(pl.multiple_of(st, 8), w), :]
+            gath = jnp.dot(base.astype(window0.dtype), window0,
+                           preferred_element_type=jnp.float32)
+
+            def chunk_body(ci, acc):
+                wst = pl.multiple_of(jnp.minimum(st + ci * w, n - w), 8)
+                lo = local0[:, None] - (wst - st)
+                oh = ((lo == iota_w) & (hit[:, None] != 0)
+                      & (local0[:, None] >= ci * w)
+                      & (local0[:, None] < (ci + 1) * w))
+                win = feats_ref[0, pl.ds(wst, w), :]
+                return acc + jnp.dot(oh.astype(win.dtype), win,
+                                     preferred_element_type=jnp.float32)
+
+            gath = jax.lax.fori_loop(1, nch, chunk_body, gath)
+            # [C, Cout] contribution: contract the tile dimension
+            contrib = jax.lax.dot_general(
+                gath.astype(gt.dtype), gt,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dw_ref[0, j * c:(j + 1) * c, :] = (
+                dw_ref[0, j * c:(j + 1) * c, :] + contrib)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_kg, b, nt),
+        in_specs=[
+            pl.BlockSpec((1, 1, kp, t), lambda kgi, bi, ti, s1, s2:
+                         (bi, ti, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, kp, t), lambda kgi, bi, ti, s1, s2:
+                         (bi, ti, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, c), lambda kgi, bi, ti, s1, s2: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, cout), lambda kgi, bi, ti, s1, s2:
+                         (bi, ti, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, kg * c, cout),
+                               lambda kgi, bi, ti, s1, s2: (kgi, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_kg, kg * c, cout), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=_interpret(),
+    )(starts, nchunks, idx_t, hit_t, feats, g)
+
+
+def dw_gather_gemm(feats, g, tiled, k, cin, w_width=None):
+    """Weight cotangent over a tiled map: dW[k] = Σ gather_k(feats)^T g.
+
+    ``g`` must already be masked by the conv's output validity.
+    Returns [K, Cin, Cout] float32."""
+    idx_t, hit_t, starts_f, nchunks_f = tiled
+    b, n, c = feats.shape
+    assert c == cin
+    t = idx_t.shape[3]
+    w_width = w_width or default_window(t, n)
+    kp = idx_t.shape[2]
+    cout = g.shape[-1]
+    itemsize = jnp.dtype(feats.dtype).itemsize
+    c_g, n_cg, c_pad, kg, n_kg = _split_plan(n, c, k, kp, itemsize)
+    if n_cg > 1:
+        feats = jnp.pad(feats, ((0, 0), (0, 0), (0, c_pad - c)))
+    g = g.astype(feats.dtype)
+
+    dw = jnp.zeros((n_kg * kg, c_pad, cout), jnp.float32)
+    for cg in range(n_cg):
+        f_sl = feats[:, :, cg * c_g:(cg + 1) * c_g]
+        dcg = _dw_call(idx_t, hit_t, starts_f, nchunks_f, f_sl, g,
+                       t=t, w=w_width, kg=kg, n_kg=n_kg, cout=cout)
+        dcg = dcg.reshape(n_kg * kg, c_g, cout)
+        dw = dw.at[:, cg * c_g:(cg + 1) * c_g, :].set(dcg)
+    return dw[:k, :c, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def pallas_conv_op(mode, feats, weights, fi, fh, fs, fn,
+                   bi_, bh, bs, bn, in_valid, out_valid):
+    """Differentiable windowed gather-GEMM conv (no bias — add it outside).
+
+    mode: 'k3' (27-offset same-level; bwd = same maps, W reversed+transposed)
+          | 'down' (8-child strided; bwd = up maps, W transposed)
+          | 'up'   (8-octant transpose; bwd = child maps, W transposed).
+    (fi, fh, fs, fn): forward tiled maps (input table -> output rows);
+    (bi_, bh, bs, bn): backward tiled maps (output table -> input rows).
+    """
+    return gather_gemm_conv_tiled(feats, weights, (fi, fh, fs, fn),
+                                  out_valid, k=weights.shape[0])
+
+
+def _pallas_conv_fwd(mode, feats, weights, fi, fh, fs, fn,
+                     bi_, bh, bs, bn, in_valid, out_valid):
+    out = pallas_conv_op(mode, feats, weights, fi, fh, fs, fn,
+                         bi_, bh, bs, bn, in_valid, out_valid)
+    return out, (feats, weights, fi, fh, fs, fn, bi_, bh, bs, bn,
+                 in_valid, out_valid)
+
+
+def _pallas_conv_bwd(mode, res, g):
+    (feats, weights, fi, fh, fs, fn, bi_, bh, bs, bn,
+     in_valid, out_valid) = res
+    k = weights.shape[0]
+    g_m = jnp.where(out_valid[..., None], g, 0).astype(feats.dtype)
+    if mode == "k3":
+        wb = jnp.flip(weights, axis=0).swapaxes(1, 2)
+    else:
+        wb = weights.swapaxes(1, 2)
+    dfeats = gather_gemm_conv_tiled(g_m, wb, (bi_, bh, bs, bn), in_valid,
+                                    k=k)
+    dw = dw_gather_gemm(feats, g_m, (fi, fh, fs, fn), k,
+                        cin=feats.shape[-1]).astype(weights.dtype)
+
+    def f0(x):
+        return np.zeros(x.shape, jax.dtypes.float0)
+
+    return (dfeats.astype(feats.dtype), dw, f0(fi), f0(fh), f0(fs), f0(fn),
+            f0(bi_), f0(bh), f0(bs), f0(bn), f0(in_valid), f0(out_valid))
+
+
+pallas_conv_op.defvjp(_pallas_conv_fwd, _pallas_conv_bwd)
+
+
+def supported_dims(n_table, n_out, itemsize=2) -> bool:
+    """Size-based variant of :func:`supported` (for gating the backward
+    direction, whose table is the cotangent [B, n_out_fwd, Cout])."""
+    if n_table * 128 * itemsize > _TABLE_BUDGET:
+        return False
+    return _pick_tile(n_out) >= 8 and n_table >= 8 and n_table % 8 == 0
 
 
 def supported(nbr_idx, feats) -> bool:

@@ -184,7 +184,8 @@ def rank_lookup(keys, qbase, deltas, qvalid, t=None, w=None,
 
     ends = jnp.concatenate([ranks[:, :, 1:],
                             jnp.full((k, b, 1), n, jnp.int32)], axis=-1)
-    # 128-aligned starts: Mosaic lane-dimension slices require it
+    # 128-aligned starts: Mosaic lane-dimension slices require it (the
+    # rank kernel reads int32 keys along the LANE axis)
     starts = jnp.clip(ranks - (ranks % 128), 0, max(n - w, 0))
     span = jnp.maximum(ends - starts, 0)
     nchunks = jnp.minimum(span // w + 1, -(-n // w))
@@ -202,7 +203,16 @@ def rank_lookup(keys, qbase, deltas, qvalid, t=None, w=None,
     idx = idx_t.transpose(2, 0, 1, 3).reshape(kp, b, nq)[:k]
     hit = hit_t.transpose(2, 0, 1, 3).reshape(kp, b, nq)[:k] != 0
     if return_tiled:
-        return idx, hit, (idx_t, hit_t, starts_f, nchunks_f)
+        # conv windows slice the SUBLANE axis of the feature table, so
+        # their starts only need 8-alignment; aligning down to 128 here
+        # wasted up to 127 of each window and pushed ~half the tiles into
+        # a second gather chunk (1.5x gather FLOPs on every conv)
+        starts_c = jnp.clip(ranks - (ranks % 8), 0, max(n - w, 0))
+        span_c = jnp.maximum(ends - starts_c, 0)
+        nchunks_c = jnp.minimum(span_c // w + 1, -(-n // w))
+        starts_cf = pad_k(starts_c).reshape(-1)
+        nchunks_cf = jnp.maximum(pad_k(nchunks_c), 1).reshape(-1)
+        return idx, hit, (idx_t, hit_t, starts_cf, nchunks_cf)
     return idx, hit
 
 

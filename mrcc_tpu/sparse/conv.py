@@ -81,14 +81,25 @@ def conv1x1(feats, weights, valid, bias=None):
     return jnp.where(valid[..., None], out, 0)
 
 
-def conv_k3(feats, weights, level, bias=None):
-    """k=3 s=1 conv on one level (27-neighbour kernel map)."""
-    if level.nbr_tiled is not None and _pallas_route(feats, level.nbr_idx):
-        from ..ops.conv_pallas import gather_gemm_conv_tiled
+def _with_bias(out, bias, valid, dtype):
+    """Bias stays outside the custom-VJP conv op (autodiff handles it)."""
+    if bias is None:
+        return out
+    return jnp.where(valid[..., None], out + bias.astype(dtype), 0)
 
-        return gather_gemm_conv_tiled(feats, weights, level.nbr_tiled,
-                                      level.valid, bias=bias,
-                                      k=weights.shape[0])
+
+def conv_k3(feats, weights, level, bias=None):
+    """k=3 s=1 conv on one level (27-neighbour kernel map).
+
+    The Pallas route is differentiable: submanifold adjacency is symmetric,
+    so the backward conv runs the SAME tiled map with W'[k] = W[26-k]^T
+    (ops/conv_pallas.py custom VJP)."""
+    if level.nbr_tiled is not None and _pallas_route(feats, level.nbr_idx):
+        from ..ops.conv_pallas import pallas_conv_op
+
+        out = pallas_conv_op("k3", feats, weights, *level.nbr_tiled,
+                             *level.nbr_tiled, level.valid, level.valid)
+        return _with_bias(out, bias, level.valid, feats.dtype)
     return conv_kernel_map(feats, weights, level.nbr_idx, level.nbr_hit,
                            level.valid, bias=bias)
 
@@ -97,7 +108,20 @@ def conv_down(feats, weights, fine_level, coarse_level, bias=None):
     """k=2 s=2 conv: fine level -> coarse level (8-child kernel map).
 
     ``fine_level.child_idx`` lives on the coarse level per build_hierarchy.
+    The Pallas route is differentiable when the fine level carries the
+    cached ``up_tiled`` map (dfeats = transpose conv with W^T).
     """
+    if (coarse_level.child_tiled is not None
+            and weights.shape[0] == 8
+            and fine_level.up_tiled is not None
+            and _pallas_route(feats, coarse_level.child_idx)):
+        from ..ops.conv_pallas import pallas_conv_op
+
+        out = pallas_conv_op("down", feats, weights,
+                             *coarse_level.child_tiled,
+                             *fine_level.up_tiled,
+                             fine_level.valid, coarse_level.valid)
+        return _with_bias(out, bias, coarse_level.valid, feats.dtype)
     if (coarse_level.child_tiled is not None
             and _pallas_route(feats, coarse_level.child_idx)):
         from ..ops.conv_pallas import gather_gemm_conv_tiled
@@ -117,6 +141,18 @@ def conv_transpose_up(feats, weights, coarse_level, fine_level, bias=None):
     slice of the octant the fine voxel occupies:
     ``out[c] = feats[parent(c)] @ W[octant(c)]``.
     """
+    if (fine_level.up_tiled is not None and weights.shape[0] == 8
+            and coarse_level.child_tiled is not None
+            and _pallas_route(feats, fine_level.parent_idx[None])):
+        from ..ops.conv_pallas import pallas_conv_op
+
+        out = pallas_conv_op("up", feats, weights,
+                             *fine_level.up_tiled,
+                             *coarse_level.child_tiled,
+                             coarse_level.valid, fine_level.valid)
+        return _with_bias(out, bias, fine_level.valid, feats.dtype)
+    parent_ok = (fine_level.parent_ok if fine_level.parent_ok is not None
+                 else fine_level.valid)
     if _pallas_route(feats, fine_level.parent_idx[None]):
         from ..ops.conv_pallas import gather_gemm_conv
 
@@ -127,10 +163,11 @@ def conv_transpose_up(feats, weights, coarse_level, fine_level, bias=None):
         idx8 = jnp.broadcast_to(fine_level.parent_idx[None],
                                 (k,) + fine_level.parent_idx.shape)
         hit8 = (fine_level.octant[None] == jnp.arange(k)[:, None, None]
-                ) & fine_level.valid[None]
+                ) & fine_level.valid[None] & parent_ok[None]
         return gather_gemm_conv(feats, weights, idx8, hit8,
                                 fine_level.valid, bias=bias)
     parent_feats = _gather_rows(feats, fine_level.parent_idx)  # [B, Nf, Cin]
+    parent_feats = jnp.where(parent_ok[..., None], parent_feats, 0)
     weights = weights.astype(feats.dtype)
     cout = weights.shape[-1]
     b, nf = fine_level.parent_idx.shape

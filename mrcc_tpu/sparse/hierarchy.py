@@ -108,6 +108,22 @@ def _child_tables(parent_off, parent_key, parent_valid, child_key, offsets,
     return idx, hit, None
 
 
+def _up_tiled_maps(parent_idx, parent_ok, octant, fine_valid,
+                   coarse_capacity):
+    """Tiled 8-octant transpose-conv map (pallas impl only).
+
+    As a kernel map over the COARSE table: idx_k = parent_idx for every
+    octant k, hit_k selects fine voxels occupying octant k whose parent
+    exists (parent_idx is monotone since fine keys are sorted)."""
+    from ..ops.conv_pallas import build_tiled_maps
+
+    k = 8
+    idx8 = jnp.broadcast_to(parent_idx[None], (k,) + parent_idx.shape)
+    hit8 = ((octant[None] == jnp.arange(k)[:, None, None])
+            & fine_valid[None] & parent_ok[None])
+    return build_tiled_maps(idx8, hit8, coarse_capacity)
+
+
 def _neighbor_table_one(off, key, valid, offsets):
     """27 (or 8) neighbour indices for one item. off [N,3], key [N] sorted.
 
@@ -159,13 +175,18 @@ def _downsample_one(off, key, valid, capacity, stride=2):
     ukey = jnp.where(uvalid, ukey, KEY_PAD)
     uoff = jnp.where(uvalid[:, None], unpack_key(ukey), 0)
 
-    # child -> parent link: scatter the run index back through the sort
+    # child -> parent link: scatter the run index back through the sort.
+    # parent_ok marks children whose parent actually made it into the
+    # fixed-capacity unique set (overflowed parents would otherwise alias
+    # slot capacity-1 and corrupt transpose convs / conv-down backward).
     parent_idx = jnp.zeros((n,), jnp.int32).at[order].set(
         jnp.minimum(run_id, capacity - 1).astype(jnp.int32))
+    parent_ok = jnp.zeros((n,), bool).at[order].set(ok)
     octant = (((off[:, 0] % stride) << 2) | ((off[:, 1] % stride) << 1)
               | (off[:, 2] % stride))
     octant = jnp.where(valid, octant, 0).astype(jnp.int32)
-    return uoff, ukey, uvalid, jnp.sum(uvalid).astype(jnp.int32), parent_idx, octant
+    return (uoff, ukey, uvalid, jnp.sum(uvalid).astype(jnp.int32),
+            parent_idx, parent_ok, octant)
 
 
 def _child_table_one(parent_off, parent_valid, child_key, offsets=K2_OFFSETS,
@@ -196,6 +217,8 @@ class Level:
       off/key/valid/count: the voxel set ([B, N, 3], [B, N], [B, N], [B]).
       nbr_idx/nbr_hit: [27, B, N] k=3 s=1 kernel map (None until built).
       parent_idx: [B, N] index into the next-coarser level (level l+1).
+      parent_ok:  [B, N] whether the parent exists in the (fixed-capacity)
+        coarser level — False for children of overflowed parents.
       octant:     [B, N] which of 8 children of that parent this voxel is.
       child_idx/child_hit: [8, B, Np-of-coarser]… stored on the COARSER level:
         for each of its voxels, the indices of its children in THIS level.
@@ -208,6 +231,7 @@ class Level:
     nbr_idx: Optional[jax.Array] = None
     nbr_hit: Optional[jax.Array] = None
     parent_idx: Optional[jax.Array] = None
+    parent_ok: Optional[jax.Array] = None
     octant: Optional[jax.Array] = None
     child_idx: Optional[jax.Array] = None
     child_hit: Optional[jax.Array] = None
@@ -216,6 +240,10 @@ class Level:
     # on the level shares them and skips per-call map preparation
     nbr_tiled: Optional[tuple] = None
     child_tiled: Optional[tuple] = None
+    # tiled 8-octant "up map" (each fine voxel gathers its parent in the
+    # COARSER level's table): forward map of k=2 s=2 transpose convs and
+    # backward map of k=2 s=2 down convs (ops/conv_pallas.py custom VJP)
+    up_tiled: Optional[tuple] = None
 
 
 def build_hierarchy(voxels: SparseVoxels, depth: int,
@@ -244,12 +272,18 @@ def build_hierarchy(voxels: SparseVoxels, depth: int,
                 count=voxels.count)
     for l in range(depth):
         cap = capacities[l]
-        uoff, ukey, uvalid, ucount, parent_idx, octant = jax.vmap(
+        uoff, ukey, uvalid, ucount, parent_idx, parent_ok, octant = jax.vmap(
             partial(_downsample_one, capacity=cap)
         )(cur.off, cur.key, cur.valid)
         child_idx, child_hit, child_tiled = _child_tables(
             uoff, ukey, uvalid, cur.key, K2_OFFSETS)
-        cur = dataclasses.replace(cur, parent_idx=parent_idx, octant=octant)
+        up_tiled = None
+        if _current_impl() == "pallas" and cur.key.shape[1] % 8 == 0:
+            up_tiled = _up_tiled_maps(parent_idx, parent_ok, octant,
+                                      cur.valid, cap)
+        cur = dataclasses.replace(cur, parent_idx=parent_idx,
+                                  parent_ok=parent_ok, octant=octant,
+                                  up_tiled=up_tiled)
         if build_k3:
             nbr_idx, nbr_hit, nbr_tiled = _neighbor_tables(
                 cur.off, cur.key, cur.valid, K3_OFFSETS)
@@ -285,12 +319,19 @@ def downsample_level(level: Level, capacity: int, stride: int = 2,
          for dz in range(-(kernel_size // 2), kernel_size // 2 + 1)],
         dtype=np.int32,
     )
-    uoff, ukey, uvalid, ucount, parent_idx, octant = jax.vmap(
+    uoff, ukey, uvalid, ucount, parent_idx, parent_ok, octant = jax.vmap(
         partial(_downsample_one, capacity=capacity, stride=stride)
     )(level.off, level.key, level.valid)
     child_idx, child_hit, child_tiled = _child_tables(
         uoff, ukey, uvalid, level.key, offsets, stride=stride)
-    fine = dataclasses.replace(level, parent_idx=parent_idx, octant=octant)
+    up_tiled = None
+    if (stride == 2 and _current_impl() == "pallas"
+            and level.key.shape[1] % 8 == 0):
+        up_tiled = _up_tiled_maps(parent_idx, parent_ok, octant,
+                                  level.valid, capacity)
+    fine = dataclasses.replace(level, parent_idx=parent_idx,
+                               parent_ok=parent_ok, octant=octant,
+                               up_tiled=up_tiled)
     coarse = Level(off=uoff, key=ukey, valid=uvalid, count=ucount,
                    child_idx=child_idx, child_hit=child_hit,
                    child_tiled=child_tiled)
