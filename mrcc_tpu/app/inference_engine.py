@@ -109,9 +109,20 @@ class InferenceConfig:
     icp_iterations: int = 30
     icp_template_points: int = 2048
     cluster_dist: float = 0.06
+    # exact-cluster compaction capacity; None = max(4096, ee_point_capacity)
+    # (the reference clusters ALL predicted-EE points, utils/output.py:13-28
+    # — production crops exceed 4096, so the capacity scales with the crop)
+    cluster_capacity: typing.Optional[int] = None
     sanity_min_num_of_ee_points: int = 2048
     camera_link_transformation_pose: typing.Optional[np.ndarray] = None
     calibration_confident_count: int = 2
+
+
+def cluster_capacity(cfg: InferenceConfig) -> int:
+    """Exact-cluster capacity: explicit, else scaled to the EE crop."""
+    if cfg.cluster_capacity is not None:
+        return cfg.cluster_capacity
+    return max(4096, cfg.ee_point_capacity)
 
 
 class InferenceEngine:
@@ -160,15 +171,39 @@ class InferenceEngine:
         # params are ARGUMENTS (not closures): closed-over arrays embed as
         # HLO constants, which breaks remote compilation on large models.
         if cfg.conv_impl == "auto":
-            # Pallas kernel is forward-only and not mesh-partitioned yet
             self._conv_impl = ("pallas" if jax.default_backend() == "tpu"
-                               and mesh is None else "xla")
+                               else "xla")
         else:
             self._conv_impl = cfg.conv_impl
-        self._seg_jit = jax.jit(self._with_impl(self._seg_stage))
-        self._pose_jit = jax.jit(self._with_impl(self._pose_stage))
-        self._kp_jit = jax.jit(self._with_impl(self._kp_stage))
-        self._icp_jit = jax.jit(self._icp_stage)
+        self._seg_jit = self._stage_jit(self._seg_stage)
+        self._pose_jit = self._stage_jit(self._pose_stage)
+        self._kp_jit = self._stage_jit(self._kp_stage)
+        self._icp_jit = self._stage_jit(self._icp_stage, with_impl=False)
+
+    def _stage_jit(self, fn, with_impl=True):
+        """jit one stage; under a mesh, shard_map it over the batch axis.
+
+        Every stage is batch-parallel (arg 0 is the replicated params /
+        template pytree, all other args and every output are batch-leading),
+        so shard_map needs NO collectives — and, unlike bare jit sharding,
+        it partitions the Pallas kernels too: each device runs the kernel
+        on its local batch shard (round-2 fell back to XLA under a mesh)."""
+        wrapped = self._with_impl(fn) if with_impl else fn
+        if self.mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            from ..parallel.mesh import DATA_AXIS
+
+            def sharded(first, *rest):
+                n_rest = len(rest)
+                return jax.shard_map(
+                    wrapped, mesh=self.mesh,
+                    in_specs=(P(),) + (P(DATA_AXIS),) * n_rest,
+                    out_specs=P(DATA_AXIS),
+                    check_vma=False)(first, *rest)
+
+            return jax.jit(sharded)
+        return jax.jit(wrapped)
 
     def _with_impl(self, fn):
         """Bind the conv implementation at TRACE time (jit caches the traced
@@ -277,9 +312,10 @@ class InferenceEngine:
 
         # EE demote + largest-cluster re-promotion (:422-434)
         ee_raw = (seg == 2) & mask
+        ccap = cluster_capacity(cfg)
         cluster = jax.vmap(
             partial(largest_cluster_mask, dist=cfg.cluster_dist,
-                    capacity=4096)
+                    capacity=ccap)
         )(points, ee_raw)
         seg = jnp.where(ee_raw, 1, seg)
         seg = jnp.where(ee_raw & cluster, 2, seg)

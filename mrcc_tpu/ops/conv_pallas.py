@@ -63,8 +63,18 @@ def _choose_kg(k: int, cin: int) -> int:
     return kg
 
 
+# Misses are ENCODED IN THE INDEX (idx = _MISS) instead of a separate hit
+# table: one fewer VPU op per one-hot build, half the map traffic, and the
+# chunk-partition conditions reject _MISS rows for free (hugely negative
+# local offsets never land in any [ci*W, (ci+1)*W) range).
+_MISS = -(1 << 30)
+
+
 def _pick_tile(n: int) -> int:
-    for t in (128, 64, 32, 16, 8):
+    # prefer 256-row tiles: per-grid-step orchestration was measured at
+    # ~2-3 us/step (scripts: /tmp probe decomposition, round 3) — halving
+    # the step count is ~1 ms/call on the big levels
+    for t in (256, 128, 64, 32, 16, 8):
         if n % t == 0 and n >= t:
             return t
     return 0
@@ -72,19 +82,25 @@ def _pick_tile(n: int) -> int:
 
 def default_window(t: int, n: int) -> int:
     """Canonical window width for tile size t over an n-row table (shared
-    with ops/rank_pallas.py so level-cached maps are reusable by convs)."""
+    with ops/rank_pallas.py so level-cached maps are reusable by convs).
+
+    W = T + 128: a tile of T monotone same-density indices spans ~T rows,
+    so T + 128 absorbs the 8-aligned start slack and stays one chunk;
+    round-2's W = 2T paid double the gather FLOPs for coverage the chunk
+    loop already guarantees."""
     n8 = n - (n % 8)
-    return max(8, min(max(2 * t, 128), n8))
+    return max(8, min(max(t + 128, 128), n8))
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("t", "w", "kg", "n_out", "cout", "out_dtype"))
-def _gather_gemm_call(idx_t, hit_t, starts, nchunks, feats, w_grp,
+def _gather_gemm_call(idx_t, starts, nchunks, feats, w_grp,
                       t, w, kg, n_out, cout, out_dtype):
     """The pallas_call wrapper (all shapes static).
 
-    idx_t/hit_t: [B, nt, KP, T] int32 (KP >= n_groups*kg, zero-padded).
+    idx_t: [B, nt, KP, T] int32, misses = _MISS (KP >= n_groups*kg,
+      padding offsets all-_MISS).
     starts/nchunks: [KP*B*nt] int32 scalar-prefetch (window start, aligned
       down to 8 and clamped to [0, N-W]; number of W-chunks covering the
       tile's hit-index span).
@@ -98,7 +114,7 @@ def _gather_gemm_call(idx_t, hit_t, starts, nchunks, feats, w_grp,
     kp = idx_t.shape[2]
     assert n_kg * kg <= kp
 
-    def kernel(starts_ref, nchunks_ref, idx_ref, hit_ref, feats_ref, w_ref,
+    def kernel(starts_ref, nchunks_ref, idx_ref, feats_ref, w_ref,
                out_ref, gall_ref):
         bi = pl.program_id(0)
         ti = pl.program_id(1)
@@ -110,10 +126,9 @@ def _gather_gemm_call(idx_t, hit_t, starts, nchunks, feats, w_grp,
             flat = (k * pl.num_programs(0) + bi) * nt + ti
             st = starts_ref[flat]
             nch = nchunks_ref[flat]
-            local0 = idx_ref[0, 0, k, :] - st            # [T]
-            hit = hit_ref[0, 0, k, :]
+            local0 = idx_ref[0, 0, k, :] - st            # [T], misses << 0
             # chunk 0: rows with local0 in [0, W) — enforced by the equality
-            base = (local0[:, None] == iota_w) & (hit[:, None] != 0)
+            base = local0[:, None] == iota_w
             window0 = feats_ref[0, pl.ds(pl.multiple_of(st, 8), w), :]
             g = jnp.dot(base.astype(window0.dtype), window0,
                         preferred_element_type=jnp.float32)
@@ -125,7 +140,7 @@ def _gather_gemm_call(idx_t, hit_t, starts, nchunks, feats, w_grp,
                 # st, ci*w and n-w are all multiples of 8 — hint Mosaic
                 wst = pl.multiple_of(jnp.minimum(st + ci * w, n - w), 8)
                 lo = local0[:, None] - (wst - st)  # idx - wst
-                oh = ((lo == iota_w) & (hit[:, None] != 0)
+                oh = ((lo == iota_w)
                       & (local0[:, None] >= ci * w)
                       & (local0[:, None] < (ci + 1) * w))
                 win = feats_ref[0, pl.ds(wst, w), :]
@@ -152,8 +167,6 @@ def _gather_gemm_call(idx_t, hit_t, starts, nchunks, feats, w_grp,
         in_specs=[
             pl.BlockSpec((1, 1, kp, t), lambda bi, ti, kgi, s1, s2:
                          (bi, ti, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, kp, t), lambda bi, ti, kgi, s1, s2:
-                         (bi, ti, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n, c), lambda bi, ti, kgi, s1, s2: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, kg * c, cout), lambda bi, ti, kgi, s1, s2:
@@ -168,7 +181,7 @@ def _gather_gemm_call(idx_t, hit_t, starts, nchunks, feats, w_grp,
         out_shape=jax.ShapeDtypeStruct((b, n_out, cout), jnp.float32),
         grid_spec=grid_spec,
         interpret=_interpret(),
-    )(starts, nchunks, idx_t, hit_t, feats, w_grp)
+    )(starts, nchunks, idx_t, feats, w_grp)
 
 
 # VMEM-resident feature-table budget (bytes).  Mosaic double-buffers the
@@ -207,9 +220,10 @@ def _split_plan(n, c, k, kp, itemsize):
 def build_tiled_maps(nbr_idx, nbr_hit, n, t=None, w_width=None, kp=None):
     """Tiled kernel-map layout + per-(k, b, tile) window scalars.
 
-    Returns (idx_t [B, nt, KP, T], hit_t, starts [KP*B*nt], nchunks).
-    Cache this per hierarchy level — every conv on the level shares it
-    (t is implied by idx_t's last dim; w by :func:`default_window`).
+    Returns (idx_t [B, nt, KP, T] with misses = _MISS, starts [KP*B*nt],
+    nchunks).  Cache this per hierarchy level — every conv on the level
+    shares it (t is implied by idx_t's last dim; w by
+    :func:`default_window`).
     """
     k, b, n_out = nbr_idx.shape
     t = t or _pick_tile(n_out)
@@ -226,14 +240,16 @@ def build_tiled_maps(nbr_idx, nbr_hit, n, t=None, w_width=None, kp=None):
     span = jnp.maximum(hi - starts, 0)
     nchunks = span // w_width + 1
 
-    def pad_k(a):
-        return jnp.pad(a, ((0, kp - k),) + ((0, 0),) * (a.ndim - 1))
+    idxh_r = jnp.where(hit_r, idx_r, _MISS)
 
-    idx_t = pad_k(idx_r).transpose(1, 2, 0, 3)            # [B, nt, KP, T]
-    hit_t = pad_k(hit_r.astype(jnp.int32)).transpose(1, 2, 0, 3)
+    def pad_k(a, fill=0):
+        return jnp.pad(a, ((0, kp - k),) + ((0, 0),) * (a.ndim - 1),
+                       constant_values=fill)
+
+    idx_t = pad_k(idxh_r, _MISS).transpose(1, 2, 0, 3)    # [B, nt, KP, T]
     starts_f = pad_k(starts).reshape(-1).astype(jnp.int32)
     nchunks_f = jnp.maximum(pad_k(nchunks), 1).reshape(-1).astype(jnp.int32)
-    return idx_t, hit_t, starts_f, nchunks_f
+    return idx_t, starts_f, nchunks_f
 
 
 def gather_gemm_conv_tiled(feats, weights, tiled, out_valid, bias=None,
@@ -242,7 +258,7 @@ def gather_gemm_conv_tiled(feats, weights, tiled, out_valid, bias=None,
 
     ``w_width`` must match the width the map's nchunks were computed for
     (defaults to :func:`default_window`, the shared convention)."""
-    idx_t, hit_t, starts_f, nchunks_f = tiled
+    idx_t, starts_f, nchunks_f = tiled
     b, n, c = feats.shape
     t = idx_t.shape[3]
     w_width = w_width or default_window(t, n)
@@ -265,7 +281,7 @@ def gather_gemm_conv_tiled(feats, weights, tiled, out_valid, bias=None,
         f_sl = feats[:, :, cg * c_g:(cg + 1) * c_g]
         w_sl = w_full[:, cg * c_g:(cg + 1) * c_g, :].reshape(
             n_kg, kg * c_g, cout)
-        contrib = _gather_gemm_call(idx_t, hit_t, starts_f, nchunks_f, f_sl,
+        contrib = _gather_gemm_call(idx_t, starts_f, nchunks_f, f_sl,
                                     w_sl, t=t, w=w_width, kg=kg, n_out=n_out,
                                     cout=cout, out_dtype=jnp.float32)
         out = contrib if out is None else out + contrib
@@ -317,10 +333,10 @@ def _padded_lanes(c: int) -> int:
 
 @functools.partial(
     jax.jit, static_argnames=("t", "w", "kg", "n_kg", "cout"))
-def _dw_call(idx_t, hit_t, starts, nchunks, feats, g, t, w, kg, n_kg, cout):
+def _dw_call(idx_t, starts, nchunks, feats, g, t, w, kg, n_kg, cout):
     """dW accumulation kernel: dw[k] = sum_{b,tiles} gather_k(feats)^T @ g.
 
-    idx_t/hit_t: [B, nt, KP, T]; starts/nchunks: [KP*B*nt] (as forward).
+    idx_t: [B, nt, KP, T] (misses = _MISS); starts/nchunks: [KP*B*nt].
     feats: [B, N, C]; g: [B, n_out, Cout] (pre-masked by out_valid).
     Returns [n_kg, kg*C, Cout] float32 (offset-major slices).
 
@@ -333,7 +349,7 @@ def _dw_call(idx_t, hit_t, starts, nchunks, feats, g, t, w, kg, n_kg, cout):
     nt = n_out // t
     kp = idx_t.shape[2]
 
-    def kernel(starts_ref, nchunks_ref, idx_ref, hit_ref, feats_ref, g_ref,
+    def kernel(starts_ref, nchunks_ref, idx_ref, feats_ref, g_ref,
                dw_ref):
         kgi = pl.program_id(0)
         bi = pl.program_id(1)
@@ -351,8 +367,7 @@ def _dw_call(idx_t, hit_t, starts, nchunks, feats, g, t, w, kg, n_kg, cout):
             st = starts_ref[flat]
             nch = nchunks_ref[flat]
             local0 = idx_ref[0, 0, k, :] - st
-            hit = hit_ref[0, 0, k, :]
-            base = (local0[:, None] == iota_w) & (hit[:, None] != 0)
+            base = local0[:, None] == iota_w
             window0 = feats_ref[0, pl.ds(pl.multiple_of(st, 8), w), :]
             gath = jnp.dot(base.astype(window0.dtype), window0,
                            preferred_element_type=jnp.float32)
@@ -360,7 +375,7 @@ def _dw_call(idx_t, hit_t, starts, nchunks, feats, g, t, w, kg, n_kg, cout):
             def chunk_body(ci, acc):
                 wst = pl.multiple_of(jnp.minimum(st + ci * w, n - w), 8)
                 lo = local0[:, None] - (wst - st)
-                oh = ((lo == iota_w) & (hit[:, None] != 0)
+                oh = ((lo == iota_w)
                       & (local0[:, None] >= ci * w)
                       & (local0[:, None] < (ci + 1) * w))
                 win = feats_ref[0, pl.ds(wst, w), :]
@@ -382,8 +397,6 @@ def _dw_call(idx_t, hit_t, starts, nchunks, feats, g, t, w, kg, n_kg, cout):
         in_specs=[
             pl.BlockSpec((1, 1, kp, t), lambda kgi, bi, ti, s1, s2:
                          (bi, ti, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, kp, t), lambda kgi, bi, ti, s1, s2:
-                         (bi, ti, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n, c), lambda kgi, bi, ti, s1, s2: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, t, cout), lambda kgi, bi, ti, s1, s2:
@@ -398,7 +411,7 @@ def _dw_call(idx_t, hit_t, starts, nchunks, feats, g, t, w, kg, n_kg, cout):
         out_shape=jax.ShapeDtypeStruct((n_kg, kg * c, cout), jnp.float32),
         grid_spec=grid_spec,
         interpret=_interpret(),
-    )(starts, nchunks, idx_t, hit_t, feats, g)
+    )(starts, nchunks, idx_t, feats, g)
 
 
 def dw_gather_gemm(feats, g, tiled, k, cin, w_width=None):
@@ -406,7 +419,7 @@ def dw_gather_gemm(feats, g, tiled, k, cin, w_width=None):
 
     ``g`` must already be masked by the conv's output validity.
     Returns [K, Cin, Cout] float32."""
-    idx_t, hit_t, starts_f, nchunks_f = tiled
+    idx_t, starts_f, nchunks_f = tiled
     b, n, c = feats.shape
     assert c == cin
     t = idx_t.shape[3]
@@ -422,7 +435,7 @@ def dw_gather_gemm(feats, g, tiled, k, cin, w_width=None):
     dw = jnp.zeros((n_kg * kg, c_pad, cout), jnp.float32)
     for cg in range(n_cg):
         f_sl = feats[:, :, cg * c_g:(cg + 1) * c_g]
-        dcg = _dw_call(idx_t, hit_t, starts_f, nchunks_f, f_sl, g,
+        dcg = _dw_call(idx_t, starts_f, nchunks_f, f_sl, g,
                        t=t, w=w_width, kg=kg, n_kg=n_kg, cout=cout)
         dcg = dcg.reshape(n_kg * kg, c_g, cout)
         dw = dw.at[:, cg * c_g:(cg + 1) * c_g, :].set(dcg)
@@ -430,30 +443,30 @@ def dw_gather_gemm(feats, g, tiled, k, cin, w_width=None):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def pallas_conv_op(mode, feats, weights, fi, fh, fs, fn,
-                   bi_, bh, bs, bn, in_valid, out_valid):
+def pallas_conv_op(mode, feats, weights, fi, fs, fn,
+                   bi_, bs, bn, in_valid, out_valid):
     """Differentiable windowed gather-GEMM conv (no bias — add it outside).
 
     mode: 'k3' (27-offset same-level; bwd = same maps, W reversed+transposed)
           | 'down' (8-child strided; bwd = up maps, W transposed)
           | 'up'   (8-octant transpose; bwd = child maps, W transposed).
-    (fi, fh, fs, fn): forward tiled maps (input table -> output rows);
-    (bi_, bh, bs, bn): backward tiled maps (output table -> input rows).
+    (fi, fs, fn): forward tiled maps (input table -> output rows);
+    (bi_, bs, bn): backward tiled maps (output table -> input rows).
     """
-    return gather_gemm_conv_tiled(feats, weights, (fi, fh, fs, fn),
+    return gather_gemm_conv_tiled(feats, weights, (fi, fs, fn),
                                   out_valid, k=weights.shape[0])
 
 
-def _pallas_conv_fwd(mode, feats, weights, fi, fh, fs, fn,
-                     bi_, bh, bs, bn, in_valid, out_valid):
-    out = pallas_conv_op(mode, feats, weights, fi, fh, fs, fn,
-                         bi_, bh, bs, bn, in_valid, out_valid)
-    return out, (feats, weights, fi, fh, fs, fn, bi_, bh, bs, bn,
+def _pallas_conv_fwd(mode, feats, weights, fi, fs, fn,
+                     bi_, bs, bn, in_valid, out_valid):
+    out = pallas_conv_op(mode, feats, weights, fi, fs, fn,
+                         bi_, bs, bn, in_valid, out_valid)
+    return out, (feats, weights, fi, fs, fn, bi_, bs, bn,
                  in_valid, out_valid)
 
 
 def _pallas_conv_bwd(mode, res, g):
-    (feats, weights, fi, fh, fs, fn, bi_, bh, bs, bn,
+    (feats, weights, fi, fs, fn, bi_, bs, bn,
      in_valid, out_valid) = res
     k = weights.shape[0]
     g_m = jnp.where(out_valid[..., None], g, 0).astype(feats.dtype)
@@ -461,16 +474,16 @@ def _pallas_conv_bwd(mode, res, g):
         wb = jnp.flip(weights, axis=0).swapaxes(1, 2)
     else:
         wb = weights.swapaxes(1, 2)
-    dfeats = gather_gemm_conv_tiled(g_m, wb, (bi_, bh, bs, bn), in_valid,
+    dfeats = gather_gemm_conv_tiled(g_m, wb, (bi_, bs, bn), in_valid,
                                     k=k)
-    dw = dw_gather_gemm(feats, g_m, (fi, fh, fs, fn), k,
+    dw = dw_gather_gemm(feats, g_m, (fi, fs, fn), k,
                         cin=feats.shape[-1]).astype(weights.dtype)
 
     def f0(x):
         return np.zeros(x.shape, jax.dtypes.float0)
 
-    return (dfeats.astype(feats.dtype), dw, f0(fi), f0(fh), f0(fs), f0(fn),
-            f0(bi_), f0(bh), f0(bs), f0(bn), f0(in_valid), f0(out_valid))
+    return (dfeats.astype(feats.dtype), dw, f0(fi), f0(fs), f0(fn),
+            f0(bi_), f0(bs), f0(bn), f0(in_valid), f0(out_valid))
 
 
 pallas_conv_op.defvjp(_pallas_conv_fwd, _pallas_conv_bwd)

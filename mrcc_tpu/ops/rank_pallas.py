@@ -43,7 +43,9 @@ def _interpret() -> bool:
 
 
 def _pick_tile(n: int) -> int:
-    for t in (128, 64, 32, 16, 8):
+    # 256 first (shared convention with ops/conv_pallas.py): halves the
+    # per-grid-step orchestration overhead on the big levels
+    for t in (256, 128, 64, 32, 16, 8):
         if n % t == 0 and n >= t:
             return t
     return 0
@@ -206,13 +208,20 @@ def rank_lookup(keys, qbase, deltas, qvalid, t=None, w=None,
         # conv windows slice the SUBLANE axis of the feature table, so
         # their starts only need 8-alignment; aligning down to 128 here
         # wasted up to 127 of each window and pushed ~half the tiles into
-        # a second gather chunk (1.5x gather FLOPs on every conv)
-        starts_c = jnp.clip(ranks - (ranks % 8), 0, max(n - w, 0))
+        # a second gather chunk (1.5x gather FLOPs on every conv).
+        # NOTE the conv pack's window width is default_window(t, n) of the
+        # CONV convention — recompute chunk counts against it, not this
+        # kernel's own w.
+        from .conv_pallas import _MISS, default_window as conv_window
+
+        wc = conv_window(t, n)
+        starts_c = jnp.clip(ranks - (ranks % 8), 0, max(n - wc, 0))
         span_c = jnp.maximum(ends - starts_c, 0)
-        nchunks_c = jnp.minimum(span_c // w + 1, -(-n // w))
+        nchunks_c = jnp.minimum(span_c // wc + 1, -(-n // wc))
         starts_cf = pad_k(starts_c).reshape(-1)
         nchunks_cf = jnp.maximum(pad_k(nchunks_c), 1).reshape(-1)
-        return idx, hit, (idx_t, hit_t, starts_cf, nchunks_cf)
+        idxh_t = jnp.where(hit_t != 0, idx_t, _MISS)
+        return idx, hit, (idxh_t, starts_cf, nchunks_cf)
     return idx, hit
 
 

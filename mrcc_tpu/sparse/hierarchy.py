@@ -236,8 +236,8 @@ class Level:
     child_idx: Optional[jax.Array] = None
     child_hit: Optional[jax.Array] = None
     # conv-ready tiled map packs (pallas impl only): tuples
-    # (idx_t, hit_t, starts, nchunks) from ops/rank_pallas.py — every conv
-    # on the level shares them and skips per-call map preparation
+    # (idx_t-with-misses-encoded, starts, nchunks) from ops/rank_pallas.py
+    # — every conv on the level shares them, skipping per-call map prep
     nbr_tiled: Optional[tuple] = None
     child_tiled: Optional[tuple] = None
     # tiled 8-octant "up map" (each fine voxel gathers its parent in the

@@ -102,8 +102,10 @@ def main():
 
     @jax.jit
     def f_cluster(points, seg_mask):
+        from mrcc_tpu.app.inference_engine import cluster_capacity
         return jax.vmap(partial(largest_cluster_mask, dist=cfg.cluster_dist,
-                                capacity=4096))(points, seg_mask)
+                                capacity=cluster_capacity(cfg)))(points,
+                                                                 seg_mask)
 
     seg_mask = mask & (jnp.arange(capacity)[None] % 3 == 0)
     dt, _ = timeit(f_cluster, (pts, seg_mask))

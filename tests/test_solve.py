@@ -232,3 +232,42 @@ class TestVoteAndTranslation:
         np.testing.assert_allclose(pos[0], c[0] - 0.015, atol=1e-5)
         np.testing.assert_allclose(pos[1], c[1], atol=1e-5)
         np.testing.assert_allclose(pos[2], pts[:, 2].min(), atol=1e-5)
+
+
+class TestClusterProductionScale:
+    """VERDICT r2 #8: production EE crops exceed 4096 points — the engine's
+    cluster capacity now scales with the crop (cluster_capacity())."""
+
+    @staticmethod
+    def _sklearn_largest(pts, dist=0.06):
+        from sklearn.cluster import AgglomerativeClustering
+
+        labels = AgglomerativeClustering(
+            n_clusters=None, linkage="single", distance_threshold=dist,
+        ).fit_predict(pts)
+        counts = np.bincount(labels)
+        return labels == counts.argmax()
+
+    def test_sklearn_oracle_8k_points(self, rng):
+        # 8192-point production-scale crop: dense EE blob + arm + strays
+        ee = rng.normal(size=(5000, 3)).astype(np.float32) * 0.03
+        arm = rng.normal(size=(2500, 3)).astype(np.float32) * 0.02
+        arm[:, 2] += 0.30
+        strays = rng.uniform(-1, 1, size=(692, 3)).astype(np.float32)
+        pts = np.concatenate([ee, arm, strays])
+        want = self._sklearn_largest(pts)
+        got = np.asarray(largest_cluster_mask(
+            jnp.asarray(pts), jnp.ones(len(pts), bool), capacity=8192))
+        np.testing.assert_array_equal(got, want)
+
+    def test_engine_capacity_scales_with_crop(self):
+        from mrcc_tpu.app.inference_engine import (InferenceConfig,
+                                                   cluster_capacity)
+
+        assert cluster_capacity(InferenceConfig()) == 8192
+        assert cluster_capacity(
+            InferenceConfig(ee_point_capacity=2048)) == 4096
+        assert cluster_capacity(
+            InferenceConfig(ee_point_capacity=16384)) == 16384
+        assert cluster_capacity(
+            InferenceConfig(cluster_capacity=512)) == 512
