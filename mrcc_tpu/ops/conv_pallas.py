@@ -57,9 +57,9 @@ def _interpret() -> bool:
 _KG_LANES = 3456
 
 
-def _choose_kg(k: int, cin: int) -> int:
-    """Offset-group size (kg == k whenever k * cin <= _KG_LANES)."""
-    kg = max(1, min(k, _KG_LANES // max(cin, 1)))
+def _choose_kg(k: int, cin: int, kg_lanes: int = _KG_LANES) -> int:
+    """Offset-group size (kg == k whenever k * cin <= kg_lanes)."""
+    kg = max(1, min(k, kg_lanes // max(cin, 1)))
     return kg
 
 
@@ -199,9 +199,11 @@ def _split_plan(n, c, k, kp, itemsize):
 
     Returns (c_g, n_cg, c_pad, kg, n_kg)."""
     c_g = c
-    # (b) weight residency: bound k * c_g
-    c_lane = max(128, (_KG_LANES // max(k, 1)) // 128 * 128)
-    if k * c_g > _KG_LANES:
+    # (b) weight residency: bound k * c_g (scratch/weight bytes scale with
+    # itemsize, so int8 affords twice the lanes of bf16)
+    kg_lanes = _KG_LANES * 2 if itemsize == 1 else _KG_LANES
+    c_lane = max(128, (kg_lanes // max(k, 1)) // 128 * 128)
+    if k * c_g > kg_lanes:
         c_g = min(c_g, c_lane)
     # (a) table budget
     if n * _padded_lanes(c_g) * itemsize > _TABLE_BUDGET:
@@ -209,7 +211,7 @@ def _split_plan(n, c, k, kp, itemsize):
                            // 128 * 128))
     n_cg = -(-c // c_g)
     c_pad = n_cg * c_g
-    kg = min(_choose_kg(k, c_g), kp)
+    kg = min(_choose_kg(k, c_g, kg_lanes), kp)
     n_kg = -(-k // kg)
     while n_kg * kg > kp:  # respect the map's KP padding
         kg -= 1
@@ -235,7 +237,8 @@ def build_tiled_maps(nbr_idx, nbr_hit, n, t=None, w_width=None, kp=None):
     hit_r = nbr_hit.reshape(k, b, nt, t)
     lo = jnp.where(hit_r, idx_r, n - 1).min(axis=-1)      # [k, b, nt]
     hi = jnp.where(hit_r, idx_r, 0).max(axis=-1)
-    starts = jnp.minimum(lo - (lo % 8), jnp.maximum(n - w_width, 0))
+    # 32-aligned starts: int8 sublane granularity (bf16 needs only 8)
+    starts = jnp.minimum(lo - (lo % 32), jnp.maximum(n - w_width, 0))
     starts = jnp.maximum(starts, 0)
     span = jnp.maximum(hi - starts, 0)
     nchunks = span // w_width + 1
@@ -313,6 +316,136 @@ def gather_gemm_conv(feats, weights, nbr_idx, nbr_hit, out_valid, bias=None,
 def _padded_lanes(c: int) -> int:
     """VMEM lane padding: blocks occupy round_up(C, 128) lanes."""
     return max(128, -(-c // 128) * 128)
+
+
+# ------------------------------------------------------------- int8 path
+#
+# Inference-only quantized route (ROADMAP r2 #5): per-channel symmetric
+# int8 activations with the channel scale FOLDED INTO THE WEIGHTS before
+# per-output-column weight quantization, so the whole gather+GEMM runs
+# int8 x int8 -> int32 on the MXU (2x rate) with ONE f32 column scale at
+# the end — and int8 tables halve VMEM, doubling the channel-group width.
+# The one-hot gather is exact in int8 (it copies table rows verbatim).
+
+
+@functools.partial(
+    jax.jit, static_argnames=("t", "w", "kg", "n_out", "cout"))
+def _gather_gemm_call_q8(idx_t, starts, nchunks, feats_q, w_q, vco,
+                         t, w, kg, n_out, cout):
+    """int8 variant of :func:`_gather_gemm_call` (n_kg == 1 by plan).
+
+    feats_q: [B, N, C] int8; w_q: [1, kg*C, Cout] int8;
+    vco: [1, Cout] f32 per-output-column dequant scale.
+    Returns [B, n_out, Cout] float32.
+    """
+    b, n, c = feats_q.shape
+    nt = n_out // t
+    kp = idx_t.shape[2]
+    assert n % 32 == 0 and w % 32 == 0, (n, w)
+
+    def kernel(starts_ref, nchunks_ref, idx_ref, feats_ref, w_ref, vco_ref,
+               out_ref, gall_ref):
+        bi = pl.program_id(0)
+        ti = pl.program_id(1)
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (t, w), 1)
+
+        for j in range(kg):
+            flat = (j * pl.num_programs(0) + bi) * nt + ti
+            st = starts_ref[flat]
+            nch = nchunks_ref[flat]
+            local0 = idx_ref[0, 0, j, :] - st
+            base = (local0[:, None] == iota_w)
+            window0 = feats_ref[0, pl.ds(pl.multiple_of(st, 32), w), :]
+            g = jnp.dot(base.astype(jnp.int8), window0,
+                        preferred_element_type=jnp.int32)
+
+            def chunk_body(ci, acc):
+                wst = pl.multiple_of(jnp.minimum(st + ci * w, n - w), 32)
+                lo = local0[:, None] - (wst - st)
+                oh = ((lo == iota_w)
+                      & (local0[:, None] >= ci * w)
+                      & (local0[:, None] < (ci + 1) * w))
+                win = feats_ref[0, pl.ds(wst, w), :]
+                return acc + jnp.dot(oh.astype(jnp.int8), win,
+                                     preferred_element_type=jnp.int32)
+
+            g = jax.lax.fori_loop(1, nch, chunk_body, g)
+            # one-hot rows copy table entries verbatim: values stay int8
+            gall_ref[:, j * c:(j + 1) * c] = g.astype(jnp.int8)
+
+        acc = jnp.dot(gall_ref[:, :], w_ref[0],
+                      preferred_element_type=jnp.int32)
+        out_ref[0, :, :] = acc.astype(jnp.float32) * vco_ref[0, :][None, :]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, nt),
+        in_specs=[
+            pl.BlockSpec((1, 1, kp, t), lambda bi, ti, s1, s2:
+                         (bi, ti, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, c), lambda bi, ti, s1, s2: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kg * c, cout), lambda bi, ti, s1, s2:
+                         (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda bi, ti, s1, s2: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, t, cout), lambda bi, ti, s1, s2:
+                               (bi, ti, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((t, kg * c), jnp.int8)],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, n_out, cout), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=_interpret(),
+    )(starts, nchunks, idx_t, feats_q, w_q, vco)
+
+
+def gather_gemm_conv_tiled_q8(feats, weights, tiled, out_valid, bias=None,
+                              k=None, w_width=None):
+    """Quantized conv on a precomputed tiled map (inference only).
+
+    feats: [B, N, C] float (bf16/f32); weights [K, Cin, Cout] f32.
+    Per-channel activation scales fold into the weights; per-output-column
+    weight quantization; the kernel runs fully int8."""
+    idx_t, starts_f, nchunks_f = tiled
+    b, n, c = feats.shape
+    t = idx_t.shape[3]
+    w_width = w_width or default_window(t, n)
+    k = k or weights.shape[0]
+    kp = idx_t.shape[2]
+    n_out = idx_t.shape[1] * t
+    cout = weights.shape[-1]
+    assert n % 32 == 0, n
+
+    f32 = feats.astype(jnp.float32)
+    s_c = jnp.maximum(jnp.abs(f32).max(axis=(0, 1)), 1e-8) / 127.0  # [C]
+    q_f = jnp.clip(jnp.round(f32 / s_c), -127, 127).astype(jnp.int8)
+
+    # int8 halves the table bytes -> the split plan doubles c_g
+    c_g, n_cg, c_pad, kg, n_kg = _split_plan(n, c, k, kp, itemsize=1)
+    assert n_kg == 1, (n_kg, kg, c_g)
+    if n_cg > 1:
+        q_f = jnp.pad(q_f, ((0, 0), (0, 0), (0, c_pad - c)))
+    w_fold = weights.astype(jnp.float32) * s_c[None, :, None]  # [K, C, Cout]
+    w_fold = jnp.pad(w_fold, ((0, n_kg * kg - k), (0, c_pad - c), (0, 0)))
+
+    out = None
+    for cg in range(n_cg):
+        f_sl = q_f[:, :, cg * c_g:(cg + 1) * c_g]
+        w_sl = w_fold[:, cg * c_g:(cg + 1) * c_g, :]
+        m_co = jnp.maximum(jnp.abs(w_sl).max(axis=(0, 1)), 1e-12) / 127.0
+        w_q = jnp.clip(jnp.round(w_sl / m_co), -127, 127).astype(jnp.int8)
+        w_q = w_q.reshape(1, kg * c_g, cout)
+        contrib = _gather_gemm_call_q8(
+            idx_t, starts_f, nchunks_f, f_sl, w_q, m_co[None, :],
+            t=t, w=w_width, kg=kg, n_out=n_out, cout=cout)
+        out = contrib if out is None else out + contrib
+    out = out.astype(feats.dtype)
+    if bias is not None:
+        out = out + bias.astype(feats.dtype)
+    return jnp.where(out_valid[..., None], out, 0)
 
 
 # --------------------------------------------------------------- custom VJP

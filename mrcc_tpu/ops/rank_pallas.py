@@ -170,7 +170,12 @@ def rank_lookup(keys, qbase, deltas, qvalid, t=None, w=None,
     k = len(deltas)
     b, n = keys.shape
     nq = qbase.shape[1]
-    t = t or _pick_tile(nq)
+    # the RANK kernel's own tile stays at 128 rows: its compare cost per
+    # query row is its window width, and W grows with T (W = T + 128) —
+    # T=256 cost 1.5x the VPU compares for the same answers.  The CONV
+    # pack emitted below retiles to 256 rows (pure reshape of the same
+    # data) where the bigger tile halves the conv's grid steps.
+    t = t or min(_pick_tile(nq), 128)
     w = w or default_window(t, n)
     nt = nq // t
     kp = max(8, -(-k // 8) * 8)
@@ -206,21 +211,31 @@ def rank_lookup(keys, qbase, deltas, qvalid, t=None, w=None,
     hit = hit_t.transpose(2, 0, 1, 3).reshape(kp, b, nq)[:k] != 0
     if return_tiled:
         # conv windows slice the SUBLANE axis of the feature table, so
-        # their starts only need 8-alignment; aligning down to 128 here
-        # wasted up to 127 of each window and pushed ~half the tiles into
-        # a second gather chunk (1.5x gather FLOPs on every conv).
+        # their starts need 32-alignment (int8 sublane granularity; bf16
+        # needs only 8) — aligning down to 128 here wasted up to 127 of
+        # each window and pushed ~half the tiles into a second gather
+        # chunk (1.5x gather FLOPs on every conv).
         # NOTE the conv pack's window width is default_window(t, n) of the
         # CONV convention — recompute chunk counts against it, not this
         # kernel's own w.
-        from .conv_pallas import _MISS, default_window as conv_window
+        from .conv_pallas import _MISS
+        from .conv_pallas import _pick_tile as conv_tile
+        from .conv_pallas import default_window as conv_window
 
-        wc = conv_window(t, n)
-        starts_c = jnp.clip(ranks - (ranks % 8), 0, max(n - wc, 0))
-        span_c = jnp.maximum(ends - starts_c, 0)
+        tc = conv_tile(nq)
+        wc = conv_window(tc, n)
+        step = tc // t  # rank boundaries every t rows -> subsample
+        ranks_c = ranks[:, :, ::step]                      # [K, B, ntc]
+        ends_c = jnp.concatenate(
+            [ranks_c[:, :, 1:], jnp.full((k, b, 1), n, jnp.int32)], axis=-1)
+        starts_c = jnp.clip(ranks_c - (ranks_c % 32), 0, max(n - wc, 0))
+        span_c = jnp.maximum(ends_c - starts_c, 0)
         nchunks_c = jnp.minimum(span_c // wc + 1, -(-n // wc))
         starts_cf = pad_k(starts_c).reshape(-1)
         nchunks_cf = jnp.maximum(pad_k(nchunks_c), 1).reshape(-1)
-        idxh_t = jnp.where(hit_t != 0, idx_t, _MISS)
+        idxh = jnp.where(hit_t != 0, idx_t, _MISS)         # [B, nt, KP, T]
+        idxh_t = idxh.transpose(0, 2, 1, 3).reshape(
+            b, kp, nq // tc, tc).transpose(0, 2, 1, 3)     # [B, ntc, KP, Tc]
         return idx, hit, (idxh_t, starts_cf, nchunks_cf)
     return idx, hit
 

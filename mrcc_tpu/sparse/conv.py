@@ -20,11 +20,18 @@ from .impl import sparse_impl as conv_impl  # noqa: F401  (public alias)
 
 
 def _pallas_route(feats, nbr_idx):
-    if _current_impl() != "pallas":
+    impl = _current_impl()
+    if impl not in ("pallas", "pallas-int8"):
         return False
     from ..ops import conv_pallas
 
+    if impl == "pallas-int8" and feats.shape[-2] % 32 != 0:
+        return False  # int8 sublane granularity
     return conv_pallas.supported(nbr_idx, feats)
+
+
+def _q8():
+    return _current_impl() == "pallas-int8"
 
 
 def _gather_rows(feats, idx):
@@ -95,6 +102,12 @@ def conv_k3(feats, weights, level, bias=None):
     so the backward conv runs the SAME tiled map with W'[k] = W[26-k]^T
     (ops/conv_pallas.py custom VJP)."""
     if level.nbr_tiled is not None and _pallas_route(feats, level.nbr_idx):
+        if _q8():
+            from ..ops.conv_pallas import gather_gemm_conv_tiled_q8
+
+            return gather_gemm_conv_tiled_q8(feats, weights,
+                                             level.nbr_tiled, level.valid,
+                                             bias=bias, k=weights.shape[0])
         from ..ops.conv_pallas import pallas_conv_op
 
         out = pallas_conv_op("k3", feats, weights, *level.nbr_tiled,
@@ -111,6 +124,14 @@ def conv_down(feats, weights, fine_level, coarse_level, bias=None):
     The Pallas route is differentiable when the fine level carries the
     cached ``up_tiled`` map (dfeats = transpose conv with W^T).
     """
+    if (coarse_level.child_tiled is not None and _q8()
+            and _pallas_route(feats, coarse_level.child_idx)):
+        from ..ops.conv_pallas import gather_gemm_conv_tiled_q8
+
+        return gather_gemm_conv_tiled_q8(feats, weights,
+                                         coarse_level.child_tiled,
+                                         coarse_level.valid, bias=bias,
+                                         k=weights.shape[0])
     if (coarse_level.child_tiled is not None
             and weights.shape[0] == 8
             and fine_level.up_tiled is not None
@@ -141,6 +162,14 @@ def conv_transpose_up(feats, weights, coarse_level, fine_level, bias=None):
     slice of the octant the fine voxel occupies:
     ``out[c] = feats[parent(c)] @ W[octant(c)]``.
     """
+    if (fine_level.up_tiled is not None and _q8()
+            and _pallas_route(feats, fine_level.parent_idx[None])):
+        from ..ops.conv_pallas import gather_gemm_conv_tiled_q8
+
+        return gather_gemm_conv_tiled_q8(feats, weights,
+                                         fine_level.up_tiled,
+                                         fine_level.valid, bias=bias,
+                                         k=weights.shape[0])
     if (fine_level.up_tiled is not None and weights.shape[0] == 8
             and coarse_level.child_tiled is not None
             and _pallas_route(feats, fine_level.parent_idx[None])):

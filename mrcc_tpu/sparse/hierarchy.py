@@ -67,7 +67,7 @@ def _lookup(sorted_keys, queries):
 def _use_rank_kernel(n_keys, n_queries) -> bool:
     """Route lookups through ops/rank_pallas.py (windowed-rank kernel,
     no sorts) when the pallas impl is active and shapes tile."""
-    if _current_impl() != "pallas":
+    if _current_impl() not in ("pallas", "pallas-int8"):
         return False
     # the kernel's lane-dimension slices require 128-aligned shapes
     return (n_queries % 128 == 0 and n_keys % 128 == 0
@@ -278,7 +278,8 @@ def build_hierarchy(voxels: SparseVoxels, depth: int,
         child_idx, child_hit, child_tiled = _child_tables(
             uoff, ukey, uvalid, cur.key, K2_OFFSETS)
         up_tiled = None
-        if _current_impl() == "pallas" and cur.key.shape[1] % 8 == 0:
+        if (_current_impl() in ("pallas", "pallas-int8")
+                and cur.key.shape[1] % 8 == 0):
             up_tiled = _up_tiled_maps(parent_idx, parent_ok, octant,
                                       cur.valid, cap)
         cur = dataclasses.replace(cur, parent_idx=parent_idx,
@@ -325,7 +326,7 @@ def downsample_level(level: Level, capacity: int, stride: int = 2,
     child_idx, child_hit, child_tiled = _child_tables(
         uoff, ukey, uvalid, level.key, offsets, stride=stride)
     up_tiled = None
-    if (stride == 2 and _current_impl() == "pallas"
+    if (stride == 2 and _current_impl() in ("pallas", "pallas-int8")
             and level.key.shape[1] % 8 == 0):
         up_tiled = _up_tiled_maps(parent_idx, parent_ok, octant,
                                   level.valid, capacity)

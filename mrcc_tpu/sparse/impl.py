@@ -1,8 +1,10 @@
 """Trace-time implementation selector shared by the sparse ops.
 
-  "xla"    — searchsorted/gather formulations (differentiable; training).
-  "pallas" — ops/conv_pallas.py + ops/rank_pallas.py windowed kernels
-             (forward-only; the inference engine's TPU path).
+  "xla"         — searchsorted/gather formulations (differentiable).
+  "pallas"      — ops/conv_pallas.py + ops/rank_pallas.py windowed kernels
+                  (differentiable via the custom VJP; the TPU path).
+  "pallas-int8" — same kernels with int8 quantized gather+GEMM
+                  (inference only; 2x MXU rate, half the VMEM tables).
 
 The flag is consulted while TRACING (jit caches the traced graph), so
 holders wrap stage functions in the context manager before jitting.
@@ -13,6 +15,7 @@ from __future__ import annotations
 import contextlib
 
 _IMPL = "xla"
+IMPLS = ("xla", "pallas", "pallas-int8")
 
 
 def current() -> str:
@@ -22,7 +25,7 @@ def current() -> str:
 @contextlib.contextmanager
 def sparse_impl(name: str):
     global _IMPL
-    assert name in ("xla", "pallas"), name
+    assert name in IMPLS, name
     old, _IMPL = _IMPL, name
     try:
         yield
