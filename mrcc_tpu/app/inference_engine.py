@@ -179,6 +179,10 @@ class InferenceEngine:
         self._pose_jit = self._stage_jit(self._pose_stage)
         self._kp_jit = self._stage_jit(self._kp_stage)
         self._icp_jit = self._stage_jit(self._icp_stage, with_impl=False)
+        # the throughput path: seg -> pose -> kp -> 2x ICP as ONE program
+        # (ROADMAP #4 — stage dispatch costs 1.3-2.5 ms/call on this
+        # runtime; the reference runs seven separate GPU/CPU stages)
+        self._full_jit = self._stage_jit(self._full_pipeline)
 
     def _stage_jit(self, fn, with_impl=True):
         """jit one stage; under a mesh, shard_map it over the batch axis.
@@ -444,14 +448,44 @@ class InferenceEngine:
         return (refine(ee_pts, ee_valid, ee_pose),
                 refine(ee_pts, ee_valid, kp_pose))
 
+    def _full_pipeline(self, bundle, points, rgb, mask):
+        """The whole predict path as one traceable function.
+
+        ``bundle`` = {"params": engine params, "template": ICP template} —
+        everything replicated; all other args/outputs are batch-leading
+        (shard_map-compatible)."""
+        params = bundle["params"]
+        seg, ee_count, ee_pts, ee_rgb, ee_valid, seg_overflow = \
+            self._seg_stage(params["segmentation"], points, rgb, mask)
+        ee_pose, rot_conf = self._pose_stage(params["rotation"], ee_pts,
+                                             ee_rgb, ee_valid)
+        kp_pose, kp_ok, kp_coords, kp_found, kp_conf = self._kp_stage(
+            params["key_points"], ee_pts, ee_rgb, ee_valid)
+        if self.cfg.icp_enabled:
+            ee_pose, kp_pose = self._icp_stage(
+                bundle["template"], ee_pts, ee_valid, ee_pose, kp_pose)
+        return {
+            "segmentation": seg,
+            "seg_overflow": seg_overflow,
+            "ee_count": ee_count,
+            "ee_pose": ee_pose,
+            "rot_conf": rot_conf,
+            "kp_pose": kp_pose,
+            "kp_ok": kp_ok,
+            "kp_coords": kp_coords,
+            "kp_found": kp_found,
+            "kp_conf": kp_conf,
+        }
+
     # ------------------------------------------------------------- public
 
     def predict_batch_arrays(self, points, rgb, mask):
         """Batched prediction on padded arrays (throughput path).
 
-        Four chained jit stages; intermediates never leave the device(s).
-        With a mesh, inputs are placed batch-sharded and XLA keeps every
-        stage sharded across chips."""
+        ONE fused jit program (seg -> cluster -> crop -> rotation ->
+        translation -> keypoints -> Kabsch -> 2x ICP); intermediates never
+        leave the device(s).  With a mesh the program is shard_map'd over
+        the batch axis, Pallas kernels included."""
         if self.mesh is not None:
             from ..parallel.mesh import batch_sharding, replicate
 
@@ -466,27 +500,8 @@ class InferenceEngine:
                     jax.sharding.NamedSharding(self.mesh,
                                                jax.sharding.PartitionSpec()))
                 self._params_replicated = True
-        seg, ee_count, ee_pts, ee_rgb, ee_valid, seg_overflow = \
-            self._seg_jit(self.params["segmentation"], points, rgb, mask)
-        ee_pose, rot_conf = self._pose_jit(self.params["rotation"], ee_pts,
-                                           ee_rgb, ee_valid)
-        kp_pose, kp_ok, kp_coords, kp_found, kp_conf = self._kp_jit(
-            self.params["key_points"], ee_pts, ee_rgb, ee_valid)
-        if self.cfg.icp_enabled:
-            ee_pose, kp_pose = self._icp_jit(self.template, ee_pts, ee_valid,
-                                             ee_pose, kp_pose)
-        return {
-            "segmentation": seg,
-            "seg_overflow": seg_overflow,
-            "ee_count": ee_count,
-            "ee_pose": ee_pose,
-            "rot_conf": rot_conf,
-            "kp_pose": kp_pose,
-            "kp_ok": kp_ok,
-            "kp_coords": kp_coords,
-            "kp_found": kp_found,
-            "kp_conf": kp_conf,
-        }
+        bundle = {"params": self.params, "template": self.template}
+        return self._full_jit(bundle, points, rgb, mask)
 
     def _pad(self, points, rgb):
         """Pad (and, if over capacity, subsample) one cloud to the static
