@@ -20,9 +20,13 @@ OVERRIDES_DIR = os.path.join(os.path.dirname(__file__), "..", "mrcc_tpu",
                              "config", "overrides")
 
 
-def cfg_with(tmp_path, name, backbone="minkunet14A", **tiny_data):
+def cfg_with(tmp_path, name, backbone="minkunet14A", dataset_dir=None,
+             **tiny_data):
+    split = (str(tmp_path / "ds" / "sample_splits.json") if dataset_dir is None
+             else str(__import__("os").path.join(dataset_dir,
+                                                 "sample_splits.json")))
     tiny = {
-        "DATA": {"file_names": str(tmp_path / "ds" / "sample_splits.json"),
+        "DATA": {"file_names": split,
                  "batch_size": 2, "max_npoint": 2048,
                  "num_of_dense_input_points": 128, **tiny_data},
         "TRAIN": {"epochs": 1},
@@ -38,46 +42,46 @@ def cfg_with(tmp_path, name, backbone="minkunet14A", **tiny_data):
 
 
 class TestOverrideReproductions:
-    def test_segmentation(self, tmp_path):
+    def test_segmentation(self, tmp_path, tiny_dataset_dir):
         from mrcc_tpu.cli.train_mains import train_segmentation
 
-        cfg = cfg_with(tmp_path, "override_segmentation.yaml")
+        cfg = cfg_with(tmp_path, "override_segmentation.yaml", dataset_dir=tiny_dataset_dir)
         assert cfg()["TRAIN"]["loss_reduction"] == "sum"
         assert cfg()["DATA"]["scale"] == 200
         hist = train_segmentation(cfg, epochs=1)
         assert len(hist) == 1 and np.isfinite(hist[0]["loss"])
 
-    def test_rotation_only(self, tmp_path):
+    def test_rotation_only(self, tmp_path, tiny_dataset_dir):
         from mrcc_tpu.cli.train_mains import train_pose
 
-        cfg = cfg_with(tmp_path, "override_rotation_only.yaml")
+        cfg = cfg_with(tmp_path, "override_rotation_only.yaml", dataset_dir=tiny_dataset_dir)
         assert cfg()["STRUCTURE"]["disable_position"] is True
         assert cfg()["TRAIN"]["loss_type"] == "pose"
         hist = train_pose(cfg, epochs=1)
         assert len(hist) == 1 and np.isfinite(hist[0]["loss"])
 
-    def test_key_points_sparse(self, tmp_path):
+    def test_key_points_sparse(self, tmp_path, tiny_dataset_dir):
         from mrcc_tpu.cli.train_mains import train_key_points
 
-        cfg = cfg_with(tmp_path, "override_key_points_sparse.yaml")
+        cfg = cfg_with(tmp_path, "override_key_points_sparse.yaml", dataset_dir=tiny_dataset_dir)
         assert cfg()["DATA"]["keypoints_enabled"] is True
         hist = train_key_points(cfg, epochs=1)
         assert len(hist) == 1 and np.isfinite(hist[0]["loss"])
 
-    def test_kp_to_pose(self, tmp_path):
+    def test_kp_to_pose(self, tmp_path, tiny_dataset_dir):
         from mrcc_tpu.cli.train_mains import train_kp_to_pose
 
-        cfg = cfg_with(tmp_path, "override_kp_to_pose.yaml", backbone=None)
+        cfg = cfg_with(tmp_path, "override_kp_to_pose.yaml", backbone=None, dataset_dir=tiny_dataset_dir)
         assert cfg()["TRAIN"]["loss_type"] == "kp_pose_match"
         assert cfg()["STRUCTURE"]["backbone"] == "pointnet2"
         hist = train_kp_to_pose(cfg, epochs=1)
         assert len(hist) == 1
         assert hist[0]["loss"] is None or np.isfinite(hist[0]["loss"])
 
-    def test_vote(self, tmp_path):
+    def test_vote(self, tmp_path, tiny_dataset_dir):
         from mrcc_tpu.cli.train_mains import train_vote
 
-        cfg = cfg_with(tmp_path, "override_vote.yaml")
+        cfg = cfg_with(tmp_path, "override_vote.yaml", dataset_dir=tiny_dataset_dir)
         assert cfg()["DATA"]["voting_enabled"] is True
         hist = train_vote(cfg, epochs=1)
         assert len(hist) == 1 and np.isfinite(hist[0]["loss"])
@@ -88,7 +92,7 @@ class TestOverrideReproductions:
                          exp_path=str(tmp_path / "exp"))
             assert cfg()["DATA"]  # merged over defaults
 
-    def test_inference_mode_builds_engine_from_yaml(self, tmp_path):
+    def test_inference_mode_builds_engine_from_yaml(self, tmp_path, tiny_dataset_dir):
         """MODE: inference — engine construction from checkpoint fields
         written by a (tiny) training run (reference ctor :54-126)."""
         import flax.serialization
@@ -96,7 +100,7 @@ class TestOverrideReproductions:
         from mrcc_tpu.app import InferenceEngine
         from mrcc_tpu.cli.train_mains import train_segmentation
 
-        cfg = cfg_with(tmp_path, "override_segmentation.yaml")
+        cfg = cfg_with(tmp_path, "override_segmentation.yaml", dataset_dir=tiny_dataset_dir)
         train_segmentation(cfg, epochs=1)
         ckpts = [f for f in os.listdir(cfg.exp_path) if f.endswith(".ckpt")]
         assert ckpts, "training run left no checkpoint"
