@@ -92,19 +92,37 @@ def default_window(t: int, n: int) -> int:
     return max(8, min(max(t + 128, 128), n8))
 
 
+def packed_window(t: int, pack: int, n_p: int) -> int:
+    """Window width over a lane-packed table (``n_p = n // pack`` rows).
+
+    A T-row monotone tile spans ~T/pack packed rows; 128 rows of slack
+    absorb the 32-aligned start.  Multiple-of-32 (packed starts are
+    32-aligned and clamped to n_p - w)."""
+    w = -(-(t // pack + 128) // 32) * 32
+    return max(32, min(w, n_p - (n_p % 32)))
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("t", "w", "kg", "n_out", "cout", "out_dtype"))
+    static_argnames=("t", "w", "kg", "n_out", "cout", "out_dtype",
+                     "pack", "w_raw"))
 def _gather_gemm_call(idx_t, starts, nchunks, feats, w_grp,
-                      t, w, kg, n_out, cout, out_dtype):
+                      t, w, kg, n_out, cout, out_dtype,
+                      pack=1, w_raw=None):
     """The pallas_call wrapper (all shapes static).
 
     idx_t: [B, nt, KP, T] int32, misses = _MISS (KP >= n_groups*kg,
-      padding offsets all-_MISS).
+      padding offsets all-_MISS).  RAW row indices even when pack > 1.
     starts/nchunks: [KP*B*nt] int32 scalar-prefetch (window start, aligned
       down to 8 and clamped to [0, N-W]; number of W-chunks covering the
-      tile's hit-index span).
-    feats: [B, N, C] (bf16/f32).
+      tile's hit-index span).  Always in RAW rows / RAW window units
+      (``w_raw``) — the packed equivalents are derived in-kernel, so tiled
+      maps cache once per level regardless of each conv's pack factor.
+    feats: [B, N, C] (bf16/f32).  When pack > 1 the table is LANE-PACKED:
+      row q holds raw rows q*pack..q*pack+pack-1 at lane groups of
+      C/pack channels each, and the one-hot gathers whole packed rows,
+      masked down to the per-output-row sub-row group afterwards (the
+      weights are group-tiled by the caller so no lane shuffle is needed).
     w_grp: [n_groups, kg*C, Cout] (feats dtype).
     Returns [B, n_out, Cout] float32.
     """
@@ -113,6 +131,12 @@ def _gather_gemm_call(idx_t, starts, nchunks, feats, w_grp,
     n_kg = w_grp.shape[0]
     kp = idx_t.shape[2]
     assert n_kg * kg <= kp
+    if pack > 1:
+        assert n % 32 == 0 and w % 32 == 0 and w_raw is not None
+        assert c % pack == 0
+    shift = pack.bit_length() - 1
+    c_sub = c // pack
+    align = 32 if pack > 1 else 8
 
     def kernel(starts_ref, nchunks_ref, idx_ref, feats_ref, w_ref,
                out_ref, gall_ref):
@@ -120,16 +144,34 @@ def _gather_gemm_call(idx_t, starts, nchunks, feats, w_grp,
         ti = pl.program_id(1)
         kgi = pl.program_id(2)
         iota_w = jax.lax.broadcasted_iota(jnp.int32, (t, w), 1)
+        if pack > 1:
+            lane_grp = jax.lax.broadcasted_iota(
+                jnp.int32, (t, c), 1) // c_sub
 
         for j in range(kg):
             k = kgi * kg + j
             flat = (k * pl.num_programs(0) + bi) * nt + ti
-            st = starts_ref[flat]
-            nch = nchunks_ref[flat]
-            local0 = idx_ref[0, 0, k, :] - st            # [T], misses << 0
+            st_raw = starts_ref[flat]
+            nch_raw = nchunks_ref[flat]
+            idxv = idx_ref[0, 0, k, :]                   # [T], misses << 0
+            if pack > 1:
+                # derive packed window scalars from the raw map: the raw
+                # span is inside [st_raw, st_raw + nch*w_raw), so packed
+                # rows sit within bound packed rows of the aligned start
+                stp0 = st_raw >> shift
+                st = jnp.maximum(stp0 - stp0 % 32, 0)
+                st = jnp.minimum(st, n - w)
+                bound = (stp0 - st) + (nch_raw * w_raw) // pack + 1
+                nch = bound // w + 1
+                local0 = (idxv >> shift) - st
+                rbits = jax.lax.bitwise_and(idxv, pack - 1)
+            else:
+                st = st_raw
+                nch = nch_raw
+                local0 = idxv - st
             # chunk 0: rows with local0 in [0, W) — enforced by the equality
             base = local0[:, None] == iota_w
-            window0 = feats_ref[0, pl.ds(pl.multiple_of(st, 8), w), :]
+            window0 = feats_ref[0, pl.ds(pl.multiple_of(st, align), w), :]
             g = jnp.dot(base.astype(window0.dtype), window0,
                         preferred_element_type=jnp.float32)
 
@@ -138,7 +180,7 @@ def _gather_gemm_call(idx_t, starts, nchunks, feats, w_grp,
                 # disjoint partition of the span, so clamped (overlapping)
                 # physical windows can never double-count a row
                 # st, ci*w and n-w are all multiples of 8 — hint Mosaic
-                wst = pl.multiple_of(jnp.minimum(st + ci * w, n - w), 8)
+                wst = pl.multiple_of(jnp.minimum(st + ci * w, n - w), align)
                 lo = local0[:, None] - (wst - st)  # idx - wst
                 oh = ((lo == iota_w)
                       & (local0[:, None] >= ci * w)
@@ -148,6 +190,10 @@ def _gather_gemm_call(idx_t, starts, nchunks, feats, w_grp,
                                      preferred_element_type=jnp.float32)
 
             g = jax.lax.fori_loop(1, nch, chunk_body, g)
+            if pack > 1:
+                # keep only the sub-row group this output row gathered
+                # (the other lane groups hold the packed row's neighbours)
+                g = jnp.where(lane_grp == rbits[:, None], g, 0.0)
             gall_ref[:, j * c:(j + 1) * c] = g.astype(gall_ref.dtype)
 
         contrib = jnp.dot(gall_ref[:, :].astype(w_ref.dtype), w_ref[0],
@@ -191,13 +237,21 @@ _TABLE_BUDGET = 5 * 1024 * 1024
 
 
 def _split_plan(n, c, k, kp, itemsize):
-    """Channel-group / offset-group split shared by forward and dW kernels.
+    """Channel-group / offset-group / lane-pack plan shared by the forward,
+    q8 and dW kernels.
 
     Channels split so that (a) the per-item table slice fits the VMEM
     budget AND (b) all K offset weights fit one resident block
     (k * c_g <= _KG_LANES, so n_kg == 1 on every real shape).
 
-    Returns (c_g, n_cg, c_pad, kg, n_kg)."""
+    When even the 128-lane floor exceeds the table budget (production-scale
+    levels: 72k voxels x 128 padded lanes x bf16 = 18 MB), the plan LANE-
+    PACKS ``pack`` consecutive table rows into the 128-lane word
+    (c_g = 128 // pack real channels per group): the table shrinks
+    ``pack``-fold AND the gather windows narrow ~``pack``-fold.  See
+    :func:`_gather_gemm_call` for the in-kernel sub-row selection.
+
+    Returns (c_g, n_cg, c_pad, kg, n_kg, pack)."""
     c_g = c
     # (b) weight residency: bound k * c_g (scratch/weight bytes scale with
     # itemsize, so int8 affords twice the lanes of bf16)
@@ -209,14 +263,27 @@ def _split_plan(n, c, k, kp, itemsize):
     if n * _padded_lanes(c_g) * itemsize > _TABLE_BUDGET:
         c_g = min(c_g, max(128, (_TABLE_BUDGET // (n * itemsize))
                            // 128 * 128))
+    pack = 1
+    if n * 128 * itemsize > _TABLE_BUDGET:
+        # 128-lane floor is over budget: lane-pack.  Packed window starts
+        # are 32-aligned in packed rows, so n must divide evenly.
+        for p in (2, 4):
+            if n % (32 * p) == 0 and (n // p) * 128 * itemsize \
+                    <= _TABLE_BUDGET:
+                pack = p
+                break
+        if pack == 1:
+            raise ValueError(f"table n={n} over budget even lane-packed"
+                             " (gate with supported() first)")
+        c_g = 128 // pack
     n_cg = -(-c // c_g)
     c_pad = n_cg * c_g
-    kg = min(_choose_kg(k, c_g, kg_lanes), kp)
+    kg = min(_choose_kg(k, c_g * pack, kg_lanes), kp)
     n_kg = -(-k // kg)
     while n_kg * kg > kp:  # respect the map's KP padding
         kg -= 1
         n_kg = -(-k // kg)
-    return c_g, n_cg, c_pad, kg, n_kg
+    return c_g, n_cg, c_pad, kg, n_kg, pack
 
 
 def build_tiled_maps(nbr_idx, nbr_hit, n, t=None, w_width=None, kp=None):
@@ -271,22 +338,30 @@ def gather_gemm_conv_tiled(feats, weights, tiled, out_valid, bias=None,
     cout = weights.shape[-1]
 
     itemsize = jnp.dtype(feats.dtype).itemsize
-    c_g, n_cg, c_pad, kg, n_kg = _split_plan(n, c, k, kp, itemsize)
+    c_g, n_cg, c_pad, kg, n_kg, pack = _split_plan(n, c, k, kp, itemsize)
 
-    if n_cg > 1:
+    if c_pad > c:
         feats = jnp.pad(feats, ((0, 0), (0, 0), (0, c_pad - c)))
         weights = jnp.pad(weights, ((0, 0), (0, c_pad - c), (0, 0)))
 
     w_full = jnp.pad(weights.astype(feats.dtype),
                      ((0, n_kg * kg - k), (0, 0), (0, 0)))
+    b = feats.shape[0]
+    w_call = packed_window(t, pack, n // pack) if pack > 1 else w_width
     out = None
     for cg in range(n_cg):
         f_sl = feats[:, :, cg * c_g:(cg + 1) * c_g]
-        w_sl = w_full[:, cg * c_g:(cg + 1) * c_g, :].reshape(
-            n_kg, kg * c_g, cout)
+        w_sl = w_full[:, cg * c_g:(cg + 1) * c_g, :]
+        if pack > 1:
+            # lane-pack the table; tile the weights over the lane groups so
+            # masked packed gathers feed the GEMM without a lane shuffle
+            f_sl = f_sl.reshape(b, n // pack, pack * c_g)
+            w_sl = jnp.tile(w_sl, (1, pack, 1))
+        w_sl = w_sl.reshape(n_kg, kg * pack * c_g, cout)
         contrib = _gather_gemm_call(idx_t, starts_f, nchunks_f, f_sl,
-                                    w_sl, t=t, w=w_width, kg=kg, n_out=n_out,
-                                    cout=cout, out_dtype=jnp.float32)
+                                    w_sl, t=t, w=w_call, kg=kg, n_out=n_out,
+                                    cout=cout, out_dtype=jnp.float32,
+                                    pack=pack, w_raw=w_width)
         out = contrib if out is None else out + contrib
     out = out.astype(feats.dtype)
     if bias is not None:
@@ -329,12 +404,14 @@ def _padded_lanes(c: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("t", "w", "kg", "n_out", "cout"))
+    jax.jit, static_argnames=("t", "w", "kg", "n_out", "cout",
+                              "pack", "w_raw"))
 def _gather_gemm_call_q8(idx_t, starts, nchunks, feats_q, w_q, vco,
-                         t, w, kg, n_out, cout):
+                         t, w, kg, n_out, cout, pack=1, w_raw=None):
     """int8 variant of :func:`_gather_gemm_call` (n_kg == 1 by plan).
 
-    feats_q: [B, N, C] int8; w_q: [1, kg*C, Cout] int8;
+    feats_q: [B, N, C] int8 (lane-packed like the bf16 kernel when
+    pack > 1); w_q: [1, kg*C, Cout] int8;
     vco: [1, Cout] f32 per-output-column dequant scale.
     Returns [B, n_out, Cout] float32.
     """
@@ -342,18 +419,37 @@ def _gather_gemm_call_q8(idx_t, starts, nchunks, feats_q, w_q, vco,
     nt = n_out // t
     kp = idx_t.shape[2]
     assert n % 32 == 0 and w % 32 == 0, (n, w)
+    if pack > 1:
+        assert w_raw is not None and c % pack == 0
+    shift = pack.bit_length() - 1
+    c_sub = c // pack
 
     def kernel(starts_ref, nchunks_ref, idx_ref, feats_ref, w_ref, vco_ref,
                out_ref, gall_ref):
         bi = pl.program_id(0)
         ti = pl.program_id(1)
         iota_w = jax.lax.broadcasted_iota(jnp.int32, (t, w), 1)
+        if pack > 1:
+            lane_grp = jax.lax.broadcasted_iota(
+                jnp.int32, (t, c), 1) // c_sub
 
         for j in range(kg):
             flat = (j * pl.num_programs(0) + bi) * nt + ti
-            st = starts_ref[flat]
-            nch = nchunks_ref[flat]
-            local0 = idx_ref[0, 0, j, :] - st
+            st_raw = starts_ref[flat]
+            nch_raw = nchunks_ref[flat]
+            idxv = idx_ref[0, 0, j, :]
+            if pack > 1:
+                stp0 = st_raw >> shift
+                st = jnp.maximum(stp0 - stp0 % 32, 0)
+                st = jnp.minimum(st, n - w)
+                bound = (stp0 - st) + (nch_raw * w_raw) // pack + 1
+                nch = bound // w + 1
+                local0 = (idxv >> shift) - st
+                rbits = jax.lax.bitwise_and(idxv, pack - 1)
+            else:
+                st = st_raw
+                nch = nch_raw
+                local0 = idxv - st
             base = (local0[:, None] == iota_w)
             window0 = feats_ref[0, pl.ds(pl.multiple_of(st, 32), w), :]
             g = jnp.dot(base.astype(jnp.int8), window0,
@@ -370,6 +466,8 @@ def _gather_gemm_call_q8(idx_t, starts, nchunks, feats_q, w_q, vco,
                                      preferred_element_type=jnp.int32)
 
             g = jax.lax.fori_loop(1, nch, chunk_body, g)
+            if pack > 1:
+                g = jnp.where(lane_grp == rbits[:, None], g, 0)
             # one-hot rows copy table entries verbatim: values stay int8
             gall_ref[:, j * c:(j + 1) * c] = g.astype(jnp.int8)
 
@@ -424,23 +522,28 @@ def gather_gemm_conv_tiled_q8(feats, weights, tiled, out_valid, bias=None,
     q_f = jnp.clip(jnp.round(f32 / s_c), -127, 127).astype(jnp.int8)
 
     # int8 halves the table bytes -> the split plan doubles c_g
-    c_g, n_cg, c_pad, kg, n_kg = _split_plan(n, c, k, kp, itemsize=1)
+    c_g, n_cg, c_pad, kg, n_kg, pack = _split_plan(n, c, k, kp, itemsize=1)
     assert n_kg == 1, (n_kg, kg, c_g)
-    if n_cg > 1:
+    if c_pad > c:
         q_f = jnp.pad(q_f, ((0, 0), (0, 0), (0, c_pad - c)))
     w_fold = weights.astype(jnp.float32) * s_c[None, :, None]  # [K, C, Cout]
     w_fold = jnp.pad(w_fold, ((0, n_kg * kg - k), (0, c_pad - c), (0, 0)))
 
+    w_call = packed_window(t, pack, n // pack) if pack > 1 else w_width
     out = None
     for cg in range(n_cg):
         f_sl = q_f[:, :, cg * c_g:(cg + 1) * c_g]
         w_sl = w_fold[:, cg * c_g:(cg + 1) * c_g, :]
         m_co = jnp.maximum(jnp.abs(w_sl).max(axis=(0, 1)), 1e-12) / 127.0
         w_q = jnp.clip(jnp.round(w_sl / m_co), -127, 127).astype(jnp.int8)
-        w_q = w_q.reshape(1, kg * c_g, cout)
+        if pack > 1:
+            f_sl = f_sl.reshape(b, n // pack, pack * c_g)
+            w_q = jnp.tile(w_q, (1, pack, 1))
+        w_q = w_q.reshape(1, kg * pack * c_g, cout)
         contrib = _gather_gemm_call_q8(
             idx_t, starts_f, nchunks_f, f_sl, w_q, m_co[None, :],
-            t=t, w=w_width, kg=kg, n_out=n_out, cout=cout)
+            t=t, w=w_call, kg=kg, n_out=n_out, cout=cout,
+            pack=pack, w_raw=w_width)
         out = contrib if out is None else out + contrib
     out = out.astype(feats.dtype)
     if bias is not None:
@@ -465,8 +568,10 @@ def gather_gemm_conv_tiled_q8(feats, weights, tiled, out_valid, bias=None,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("t", "w", "kg", "n_kg", "cout"))
-def _dw_call(idx_t, starts, nchunks, feats, g, t, w, kg, n_kg, cout):
+    jax.jit, static_argnames=("t", "w", "kg", "n_kg", "cout",
+                              "pack", "w_raw"))
+def _dw_call(idx_t, starts, nchunks, feats, g, t, w, kg, n_kg, cout,
+             pack=1, w_raw=None):
     """dW accumulation kernel: dw[k] = sum_{b,tiles} gather_k(feats)^T @ g.
 
     idx_t: [B, nt, KP, T] (misses = _MISS); starts/nchunks: [KP*B*nt].
@@ -481,6 +586,12 @@ def _dw_call(idx_t, starts, nchunks, feats, g, t, w, kg, n_kg, cout):
     n_out = g.shape[1]
     nt = n_out // t
     kp = idx_t.shape[2]
+    if pack > 1:
+        assert n % 32 == 0 and w % 32 == 0 and w_raw is not None
+        assert c % pack == 0
+    shift = pack.bit_length() - 1
+    c_sub = c // pack
+    align = 32 if pack > 1 else 8
 
     def kernel(starts_ref, nchunks_ref, idx_ref, feats_ref, g_ref,
                dw_ref):
@@ -488,6 +599,9 @@ def _dw_call(idx_t, starts, nchunks, feats, g, t, w, kg, n_kg, cout):
         bi = pl.program_id(1)
         ti = pl.program_id(2)
         iota_w = jax.lax.broadcasted_iota(jnp.int32, (t, w), 1)
+        if pack > 1:
+            lane_grp = jax.lax.broadcasted_iota(
+                jnp.int32, (t, c), 1) // c_sub
 
         @pl.when(jnp.logical_and(bi == 0, ti == 0))
         def _():
@@ -497,16 +611,28 @@ def _dw_call(idx_t, starts, nchunks, feats, g, t, w, kg, n_kg, cout):
         for j in range(kg):
             k = kgi * kg + j
             flat = (k * pl.num_programs(1) + bi) * nt + ti
-            st = starts_ref[flat]
-            nch = nchunks_ref[flat]
-            local0 = idx_ref[0, 0, k, :] - st
+            st_raw = starts_ref[flat]
+            nch_raw = nchunks_ref[flat]
+            idxv = idx_ref[0, 0, k, :]
+            if pack > 1:
+                stp0 = st_raw >> shift
+                st = jnp.maximum(stp0 - stp0 % 32, 0)
+                st = jnp.minimum(st, n - w)
+                bound = (stp0 - st) + (nch_raw * w_raw) // pack + 1
+                nch = bound // w + 1
+                local0 = (idxv >> shift) - st
+                rbits = jax.lax.bitwise_and(idxv, pack - 1)
+            else:
+                st = st_raw
+                nch = nch_raw
+                local0 = idxv - st
             base = local0[:, None] == iota_w
-            window0 = feats_ref[0, pl.ds(pl.multiple_of(st, 8), w), :]
+            window0 = feats_ref[0, pl.ds(pl.multiple_of(st, align), w), :]
             gath = jnp.dot(base.astype(window0.dtype), window0,
                            preferred_element_type=jnp.float32)
 
             def chunk_body(ci, acc):
-                wst = pl.multiple_of(jnp.minimum(st + ci * w, n - w), 8)
+                wst = pl.multiple_of(jnp.minimum(st + ci * w, n - w), align)
                 lo = local0[:, None] - (wst - st)
                 oh = ((lo == iota_w)
                       & (local0[:, None] >= ci * w)
@@ -516,6 +642,8 @@ def _dw_call(idx_t, starts, nchunks, feats, g, t, w, kg, n_kg, cout):
                                      preferred_element_type=jnp.float32)
 
             gath = jax.lax.fori_loop(1, nch, chunk_body, gath)
+            if pack > 1:
+                gath = jnp.where(lane_grp == rbits[:, None], gath, 0.0)
             # [C, Cout] contribution: contract the tile dimension
             contrib = jax.lax.dot_general(
                 gath.astype(gt.dtype), gt,
@@ -560,17 +688,26 @@ def dw_gather_gemm(feats, g, tiled, k, cin, w_width=None):
     kp = idx_t.shape[2]
     cout = g.shape[-1]
     itemsize = jnp.dtype(feats.dtype).itemsize
-    c_g, n_cg, c_pad, kg, n_kg = _split_plan(n, c, k, kp, itemsize)
-    if n_cg > 1:
+    c_g, n_cg, c_pad, kg, n_kg, pack = _split_plan(n, c, k, kp, itemsize)
+    if c_pad > c:
         feats = jnp.pad(feats, ((0, 0), (0, 0), (0, c_pad - c)))
     g = g.astype(feats.dtype)
 
+    w_call = packed_window(t, pack, n // pack) if pack > 1 else w_width
     dw = jnp.zeros((n_kg * kg, c_pad, cout), jnp.float32)
     for cg in range(n_cg):
         f_sl = feats[:, :, cg * c_g:(cg + 1) * c_g]
+        if pack > 1:
+            f_sl = f_sl.reshape(b, n // pack, pack * c_g)
         dcg = _dw_call(idx_t, starts_f, nchunks_f, f_sl, g,
-                       t=t, w=w_width, kg=kg, n_kg=n_kg, cout=cout)
-        dcg = dcg.reshape(n_kg * kg, c_g, cout)
+                       t=t, w=w_call, kg=kg, n_kg=n_kg, cout=cout,
+                       pack=pack, w_raw=w_width)
+        if pack > 1:
+            # lane groups hold the same channel slice for different
+            # sub-rows: dW[k, l] = sum_r dcg[k, r*c_g + l]
+            dcg = dcg.reshape(n_kg * kg, pack, c_g, cout).sum(axis=1)
+        else:
+            dcg = dcg.reshape(n_kg * kg, c_g, cout)
         dw = dw.at[:, cg * c_g:(cg + 1) * c_g, :].set(dcg)
     return dw[:k, :c, :]
 
@@ -622,10 +759,23 @@ def _pallas_conv_bwd(mode, res, g):
 pallas_conv_op.defvjp(_pallas_conv_fwd, _pallas_conv_bwd)
 
 
+def _table_fits(n, itemsize) -> bool:
+    """Table budget check including the lane-pack escape hatch: packing
+    p in (2, 4) shrinks the 128-lane table p-fold (requires 32p-divisible
+    capacities and a table at least one packed window deep)."""
+    if n * 128 * itemsize <= _TABLE_BUDGET:
+        return True
+    for p in (2, 4):
+        if (n % (32 * p) == 0 and n // p >= 128
+                and (n // p) * 128 * itemsize <= _TABLE_BUDGET):
+            return True
+    return False
+
+
 def supported_dims(n_table, n_out, itemsize=2) -> bool:
     """Size-based variant of :func:`supported` (for gating the backward
     direction, whose table is the cotangent [B, n_out_fwd, Cout])."""
-    if n_table * 128 * itemsize > _TABLE_BUDGET:
+    if not _table_fits(n_table, itemsize):
         return False
     return _pick_tile(n_out) >= 8 and n_table >= 8 and n_table % 8 == 0
 
@@ -633,14 +783,14 @@ def supported_dims(n_table, n_out, itemsize=2) -> bool:
 def supported(nbr_idx, feats) -> bool:
     """Whether the Pallas kernel handles these shapes (else use XLA path).
 
-    Very large tables cannot fit VMEM even at the 128-lane channel-split
-    floor (N * 128 padded lanes * itemsize must stay inside the budget;
-    Mosaic pads the lane dimension to 128) — those levels fall back to
-    the XLA gather path."""
+    Tables over the VMEM budget at the 128-lane channel-split floor
+    (N * 128 padded lanes * itemsize; Mosaic pads the lane dimension to
+    128) are LANE-PACKED 2-4x (production-scale levels, e.g. 72k voxels);
+    only tables too big even packed fall back to the XLA gather path."""
     n_out = nbr_idx.shape[-1]
     n = feats.shape[-2]
     itemsize = jnp.dtype(feats.dtype).itemsize
-    if n * 128 * itemsize > _TABLE_BUDGET:
+    if not _table_fits(n, itemsize):
         return False
     # n % 8: window starts are clamped to n - w and asserted
     # pl.multiple_of(st, 8); a non-multiple-of-8 capacity would violate the

@@ -132,3 +132,115 @@ def test_engine_seg_stage_parity_pallas_vs_xla():
     seg_p = np.asarray(jax.device_get(eng_p._seg_jit(
         eng_p.params["segmentation"], pts, rgb, mask)[0]))
     assert (seg_x == seg_p).mean() > 0.999  # f32 vs tiny numeric jitter at argmax
+
+
+class TestLanePacked:
+    """Lane-packed tables (production-scale levels whose 128-lane tables
+    exceed the VMEM budget).  Packing is forced by shrinking the table
+    budget so the small interpret-mode shapes exercise the exact code the
+    72k-voxel production levels compile (VERDICT r2 #3)."""
+
+    @staticmethod
+    def _force_pack(monkeypatch, budget):
+        from mrcc_tpu.ops import conv_pallas
+
+        monkeypatch.setattr(conv_pallas, "_TABLE_BUDGET", budget)
+
+    def test_plan_production_shapes(self):
+        """72k-voxel L0 at bf16 c=128: pack=4, c_g=32 (18 MB -> 4.6 MB)."""
+        from mrcc_tpu.ops.conv_pallas import _split_plan, supported_dims
+
+        c_g, n_cg, c_pad, kg, n_kg, pack = _split_plan(
+            73728, 128, 27, 32, itemsize=2)
+        assert pack == 4 and c_g == 32 and n_cg == 4 and n_kg == 1
+        assert supported_dims(73728, 73728, itemsize=2)
+        # int8 needs only pack=2 at this scale
+        *_, pack8 = _split_plan(73728, 128, 27, 32, itemsize=1)
+        assert pack8 == 2
+        # conv0-style narrow input: one group, channels padded to c_g
+        c_g, n_cg, c_pad, kg, n_kg, pack = _split_plan(
+            73728, 3, 27, 32, itemsize=2)
+        assert pack == 4 and c_g == 32 and n_cg == 1 and c_pad == 32
+
+    @pytest.mark.parametrize("cin,cout", [(3, 32), (64, 64), (128, 96)])
+    def test_packed_oracle(self, rng, monkeypatch, cin, cout):
+        self._force_pack(monkeypatch, 144 * 1024)
+        from mrcc_tpu.ops.conv_pallas import _split_plan
+
+        k, b, n = 27, 2, 1024
+        *_, pack = _split_plan(n, cin, k, 32, itemsize=4)
+        assert pack == 4
+        feats = jnp.asarray(rng.normal(size=(b, n, cin)), jnp.float32)
+        idx, hit = monotone_maps(rng, k, b, n)
+        w = jnp.asarray(rng.normal(size=(k, cin, cout)) / np.sqrt(cin),
+                        jnp.float32)
+        valid = jnp.asarray(rng.random((b, n)) < 0.9)
+        want = np.asarray(conv_kernel_map(feats, w, idx, hit, valid))
+        got = np.asarray(gather_gemm_conv(feats, w, idx, hit, valid))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    def test_packed_huge_spans(self, rng, monkeypatch):
+        """Packed chunk loop stays exact for spans far beyond the window."""
+        self._force_pack(monkeypatch, 144 * 1024)
+        k, b, n, cin, cout = 4, 1, 1024, 32, 32
+        idx = np.sort(rng.integers(0, n, size=(k, b, n)),
+                      axis=-1).astype(np.int32)
+        hit = rng.random((k, b, n)) < 0.8
+        feats = jnp.asarray(rng.normal(size=(b, n, cin)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(k, cin, cout)) / 6, jnp.float32)
+        valid = jnp.ones((b, n), bool)
+        want = np.asarray(conv_kernel_map(feats, w, jnp.asarray(idx),
+                                          jnp.asarray(hit), valid))
+        got = np.asarray(gather_gemm_conv(feats, w, jnp.asarray(idx),
+                                          jnp.asarray(hit), valid))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    def test_packed_q8_oracle(self, rng, monkeypatch):
+        self._force_pack(monkeypatch, 100 * 1024)
+        from mrcc_tpu.ops.conv_pallas import (_split_plan, build_tiled_maps,
+                                              gather_gemm_conv_tiled_q8)
+
+        k, b, n, cin, cout = 27, 1, 1024, 64, 64
+        *_, pack = _split_plan(n, cin, k, 32, itemsize=1)
+        assert pack >= 2
+        idx, hit = monotone_maps(rng, k, b, n)
+        feats = jnp.asarray(rng.normal(size=(b, n, cin)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(k, cin, cout)) / 20, jnp.float32)
+        valid = jnp.ones((b, n), bool)
+        tiled = build_tiled_maps(idx, hit, n)
+        got = np.asarray(gather_gemm_conv_tiled_q8(feats, w, tiled, valid,
+                                                   k=k))
+        want = np.asarray(conv_kernel_map(feats, w, idx, hit, valid))
+        err = (np.abs(got - want).max()
+               / max(np.abs(want).max(), 1e-6))
+        assert err < 2e-2
+
+    def test_packed_grads(self, rng, monkeypatch):
+        """Packed dW / dfeats match the XLA conv's gradients."""
+        self._force_pack(monkeypatch, 144 * 1024)
+        from mrcc_tpu.ops.conv_pallas import (build_tiled_maps,
+                                              dw_gather_gemm,
+                                              gather_gemm_conv_tiled)
+
+        k, b, n, cin, cout = 27, 1, 1024, 32, 32
+        idx, hit = monotone_maps(rng, k, b, n)
+        feats = jnp.asarray(rng.normal(size=(b, n, cin)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(k, cin, cout)) / np.sqrt(cin),
+                        jnp.float32)
+        valid = jnp.ones((b, n), bool)
+        tiled = build_tiled_maps(idx, hit, n)
+
+        # forward parity first
+        got = np.asarray(gather_gemm_conv_tiled(feats, w, tiled, valid, k=k))
+        want = np.asarray(conv_kernel_map(feats, w, idx, hit, valid))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+        # dW via the packed kernel vs autodiff of the XLA conv
+        g = jnp.asarray(rng.normal(size=(b, n, cout)), jnp.float32)
+
+        def loss_xla(w):
+            return (conv_kernel_map(feats, w, idx, hit, valid) * g).sum()
+
+        dw_want = np.asarray(jax.grad(loss_xla)(w))
+        dw_got = np.asarray(dw_gather_gemm(feats, g, tiled, k, cin=cin))
+        np.testing.assert_allclose(dw_got, dw_want, rtol=2e-3, atol=2e-3)

@@ -90,8 +90,9 @@ def test_q8_channel_split_shapes(rng):
     from mrcc_tpu.sparse.conv import conv_kernel_map
 
     k, b, n, cin, cout = 27, 1, 256, 416, 96
-    c_g, n_cg, _, kg, n_kg = _split_plan(n, cin, k, 32, itemsize=1)
+    c_g, n_cg, _, kg, n_kg, pack = _split_plan(n, cin, k, 32, itemsize=1)
     assert c_g == 256 and n_cg == 2 and kg == 27 and n_kg == 1
+    assert pack == 1
 
     base = np.arange(n)
     idx = np.zeros((k, b, n), np.int32)
