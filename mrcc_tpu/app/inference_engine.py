@@ -99,6 +99,11 @@ class InferenceConfig:
     rot_checkpoint: typing.Optional[str] = None
     kp_checkpoint: typing.Optional[str] = None
 
+    # opt-in continuous 6D rotation head (ROADMAP #8): the rotation net
+    # emits [pos(3), 6d(6), conf?] and the engine converts 6d -> quaternion
+    # (geometry.transform.rot6d_to_quat); default keeps the reference's
+    # quaternion head (robotnet.py:79-83)
+    rot_6d: bool = False
     compute_dtype: str = "bfloat16"  # conv-path compute (f32 accumulation)
     # sparse-conv implementation: 'auto' = Pallas windowed gather-GEMM on
     # TPU (ops/conv_pallas.py), XLA gathers elsewhere; or force
@@ -147,9 +152,11 @@ class InferenceEngine:
         self._seg_model = RobotNetSegmentation(
             backbone=cfg.seg_backbone, in_channels=3,
             num_classes=cfg.num_classes)
+        rot_pose_w = 9 if cfg.rot_6d else 7
         self._rot_model = RobotNetEncode(
             backbone=cfg.rot_backbone, in_channels=3,
-            out_channels=10 if cfg.compute_confidence else 7)
+            out_channels=rot_pose_w + (3 if cfg.compute_confidence else 0),
+            rot_dims=6 if cfg.rot_6d else 4)
         self._kp_dense = cfg.kp_backbone == "pointnet2"
         if self._kp_dense:
             from ..models import PointNet2SSG
@@ -353,11 +360,18 @@ class InferenceEngine:
         rfeats = rvox.feats.astype(jnp.dtype(cfg.compute_dtype))
         rot_out = self._rot_model.apply(params, rfeats, rlevels,
                                         train=False).astype(jnp.float32)
-        q = rot_out[:, 3:7]
+        if cfg.rot_6d:
+            from ..geometry.transform import rot6d_to_quat
+
+            q = rot6d_to_quat(rot_out[:, 3:9])
+            conf_off = 9
+        else:
+            q = rot_out[:, 3:7]
+            conf_off = 7
         pos, _ = jax.vmap(predict_translation)(ee_pts, ee_valid, q)
         # confidences (already sigmoided by the model head) or ones
-        if rot_out.shape[-1] > 7:
-            conf = rot_out[:, 7:10]
+        if rot_out.shape[-1] > conf_off:
+            conf = rot_out[:, conf_off:conf_off + 3]
         else:
             conf = jnp.ones((rot_out.shape[0], 3), jnp.float32)
         return jnp.concatenate([pos, q], axis=-1), conf

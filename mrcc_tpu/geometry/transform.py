@@ -77,6 +77,31 @@ def matrix_to_quat(m):
     return qnormalize(q)
 
 
+def rot6d_to_matrix(r6):
+    """Continuous 6D rotation parameterization -> rotation matrix.
+
+    Gram-Schmidt on the two predicted column vectors (Zhou et al., "On the
+    Continuity of Rotation Representations in Neural Networks"): unlike
+    quaternions, the map from R^6 is continuous, which helps regression
+    heads (ROADMAP #8 opt-in; the reference trains quaternions, loss.py:74).
+
+    r6: (..., 6) -> (..., 3, 3) with columns [b1 b2 b3], det = +1.
+    """
+    r6 = jnp.asarray(r6)
+    a1, a2 = r6[..., :3], r6[..., 3:6]
+    eps = 1e-8
+    b1 = a1 / jnp.maximum(jnp.linalg.norm(a1, axis=-1, keepdims=True), eps)
+    a2p = a2 - jnp.sum(b1 * a2, axis=-1, keepdims=True) * b1
+    b2 = a2p / jnp.maximum(jnp.linalg.norm(a2p, axis=-1, keepdims=True), eps)
+    b3 = jnp.cross(b1, b2)
+    return jnp.stack([b1, b2, b3], axis=-1)
+
+
+def rot6d_to_quat(r6):
+    """6D rotation -> WXYZ quaternion (via :func:`rot6d_to_matrix`)."""
+    return matrix_to_quat(rot6d_to_matrix(r6))
+
+
 def pose_to_matrix(pose):
     """Pose [x,y,z,qw,qx,qy,qz] -> 4x4 homogeneous transform.
 

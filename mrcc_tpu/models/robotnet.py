@@ -32,18 +32,26 @@ from ..sparse.nn import SparseBatchNorm, SparseLinear
 from .minkunet import MinkUNetBase, make_minkunet
 
 
-def _finalize_pose_output(out, train: bool, quantization_size: float = 0.0):
-    """Shared eval-time head postprocessing (robotnet.py:79-83)."""
-    if out.shape[-1] > 7:
-        conf = jax.nn.sigmoid(out[..., 7:])
-        out = jnp.concatenate([out[..., :7], conf], axis=-1)
+def _finalize_pose_output(out, train: bool, quantization_size: float = 0.0,
+                          rot_dims: int = 4):
+    """Shared eval-time head postprocessing (robotnet.py:79-83).
+
+    rot_dims: 4 for WXYZ quaternion heads (reference layout), 6 for the
+    opt-in continuous 6D parameterization (losses.LossType.COS2_6D) —
+    confidence channels follow the rotation block either way."""
+    pose_w = 3 + rot_dims
+    if out.shape[-1] > pose_w:
+        conf = jax.nn.sigmoid(out[..., pose_w:])
+        out = jnp.concatenate([out[..., :pose_w], conf], axis=-1)
     if not train:
-        q = out[..., 3:7]
-        q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+        r = out[..., 3:pose_w]
+        if rot_dims == 4:
+            r = r / jnp.maximum(jnp.linalg.norm(r, axis=-1, keepdims=True),
+                                1e-12)
         pos = out[..., :3]
         if quantization_size:
             pos = pos * quantization_size
-        out = jnp.concatenate([pos, q, out[..., 7:]], axis=-1)
+        out = jnp.concatenate([pos, r, out[..., pose_w:]], axis=-1)
     return out
 
 
@@ -54,6 +62,7 @@ class RobotNet(nn.Module):
     in_channels: int = 3
     out_channels: int = 7
     use_joint_angles: bool = False
+    rot_dims: int = 4  # 6 = continuous 6D head (opt-in)
 
     @nn.compact
     def __call__(self, feats, levels, joint_angles=None, train: bool = False):
@@ -74,7 +83,7 @@ class RobotNet(nn.Module):
         h = nn.Dense(2048, name="pose_fc1")(pooled)
         h = jax.nn.leaky_relu(h, negative_slope=0.01)
         out = nn.Dense(self.out_channels, name="pose_fc2")(h)
-        return _finalize_pose_output(out, train)
+        return _finalize_pose_output(out, train, rot_dims=self.rot_dims)
 
 
 class RobotNetEncode(nn.Module):
@@ -86,6 +95,7 @@ class RobotNetEncode(nn.Module):
     use_joint_angles: bool = False
     voxelize_position: bool = False
     quantization_size: float = 0.01
+    rot_dims: int = 4  # 6 = continuous 6D head (opt-in)
 
     @nn.compact
     def __call__(self, feats, levels, joint_angles=None, train: bool = False):
@@ -107,7 +117,8 @@ class RobotNetEncode(nn.Module):
         h = jax.nn.leaky_relu(h, negative_slope=0.01)
         out = nn.Dense(self.out_channels, name="pose_fc2")(h)
         qsize = self.quantization_size if self.voxelize_position else 0.0
-        return _finalize_pose_output(out, train, quantization_size=qsize)
+        return _finalize_pose_output(out, train, quantization_size=qsize,
+                                     rot_dims=self.rot_dims)
 
 
 class RobotNetSegmentation(nn.Module):

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from ..geometry.metrics import compute_pose_dist
 from ..geometry.quaternion import qeuler, qnormalize
-from ..geometry.transform import quat_to_matrix
+from ..geometry.transform import quat_to_matrix, rot6d_to_quat
 
 
 class LossType(str, enum.Enum):
@@ -33,6 +33,7 @@ class LossType(str, enum.Enum):
     COS = "cos"
     ANGLE = "angle"
     COS2 = "cos2"
+    COS2_6D = "cos2_6d"
     WGEODESIC = "wgeodesic"
     SMOOTHL1 = "smoothl1"
     POSE = "pose"
@@ -140,6 +141,49 @@ def cos2_loss(y, y_pred, cfg: LossConfig, **_):
         all_idx = pos_idx & ang_idx
         all_target = pos_target * ang_target
         loss_conf += _bce(y_pred[:, 9], all_target, all_idx, cfg.reduction)
+
+    return loss_rot + loss_coor + loss_conf
+
+
+def cos2_6d_loss(y, y_pred, cfg: LossConfig, **_):
+    """cos2 with a continuous 6D rotation head (opt-in, ROADMAP #8).
+
+    y stays the reference 7-DoF [pos, wxyz quat] label; y_pred is
+    [pos(3), 6d(6), conf(3)?].  The 6D block is Gram-Schmidt-orthonormalized
+    and compared to the label rotation geodesically; position and the
+    optional confidence heads reuse the cos2 machinery on the converted
+    quaternion (so thresholds keep the reference semantics,
+    loss.py:74-116)."""
+    q_pred = rot6d_to_quat(y_pred[:, 3:9])
+    loss_coor = 0.0
+    if not cfg.disable_position:
+        loss_coor = _mse(y[:, :3], y_pred[:, :3], cfg.reduction)
+    loss_rot = 0.0
+    if not cfg.disable_orientation:
+        # |<q1, q2>| is cos(theta/2): sign-invariant smooth geodesic proxy
+        inner = jnp.abs(jnp.sum(qnormalize(y[:, 3:7]) * q_pred, axis=-1))
+        loss_rot = 2.0 * _reduce(1.0 - inner, cfg.reduction)
+
+    loss_conf = 0.0
+    if cfg.compute_confidence:
+        y_pred7 = jnp.concatenate([y_pred[:, :3], q_pred], axis=-1)
+        _, dist_position, _, angle_diff = compute_pose_dist(y[:, :7],
+                                                            y_pred7)
+        pos_idx = (dist_position < cfg.position_threshold) | (
+            dist_position > cfg.position_ignore_threshold)
+        pos_target = (dist_position < cfg.position_threshold).astype(
+            y_pred.dtype)
+        loss_conf += _bce(y_pred[:, 9], pos_target, pos_idx, cfg.reduction)
+
+        ang_idx = (angle_diff < cfg.angle_diff_threshold) | (
+            angle_diff > cfg.angle_diff_ignore_threshold)
+        ang_target = (angle_diff < cfg.angle_diff_threshold).astype(
+            y_pred.dtype)
+        loss_conf += _bce(y_pred[:, 10], ang_target, ang_idx, cfg.reduction)
+
+        all_idx = pos_idx & ang_idx
+        all_target = pos_target * ang_target
+        loss_conf += _bce(y_pred[:, 11], all_target, all_idx, cfg.reduction)
 
     return loss_rot + loss_coor + loss_conf
 
@@ -260,6 +304,7 @@ _REGISTRY = {
     LossType.COS: cos_loss,
     LossType.ANGLE: default_loss,
     LossType.COS2: cos2_loss,
+    LossType.COS2_6D: cos2_6d_loss,
     LossType.WGEODESIC: wgeodesic_loss,
     LossType.SMOOTHL1: smoothl1_loss,
     LossType.POSE: pose_loss,

@@ -25,7 +25,7 @@ from ..geometry.metrics import compute_pose_dist
 from ..parallel import mesh as mesh_lib
 from ..sparse import build_hierarchy, voxelize
 from . import checkpoint as ckpt
-from .losses import LossConfig, get_criterion, segmentation_loss
+from .losses import LossConfig, LossType, get_criterion, segmentation_loss
 
 
 @dataclasses.dataclass
@@ -142,8 +142,15 @@ def make_pose_train_step(model, data_cfg, loss_cfg: LossConfig,
         opt_state = _set_lr(state.opt_state, lr)
         upd, opt_state = optimizer.update(grads, opt_state, state.params)
         params = optax.apply_updates(state.params, upd)
+        if loss_cfg.loss_type == LossType.COS2_6D:
+            from ..geometry.transform import rot6d_to_quat
+
+            out7 = jnp.concatenate(
+                [out[:, :3], rot6d_to_quat(out[:, 3:9])], axis=-1)
+        else:
+            out7 = out[:, :7]
         dist, dist_pos, dist_ori, angle = compute_pose_dist(
-            batch["pose"], out[:, :7])
+            batch["pose"], out7)
         metrics = {"loss": loss, "dist": dist.mean(),
                    "dist_position": dist_pos.mean(),
                    "dist_orientation": dist_ori.mean(),

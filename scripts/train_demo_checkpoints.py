@@ -37,6 +37,12 @@ def main():
     ap.add_argument("--pose-epochs", type=int, default=None,
                     help="epochs for the rotation/keypoint heads "
                          "(default: --epochs)")
+    ap.add_argument("--rot-6d", action="store_true",
+                    help="train the continuous 6D rotation head "
+                         "(LossType.COS2_6D) instead of quaternions")
+    ap.add_argument("--confidence", action="store_true",
+                    help="train the cos2 confidence heads so the engine's "
+                         "is_confident gate runs trained weights")
     args = ap.parse_args()
 
     import jax
@@ -86,10 +92,16 @@ def main():
     rot_cfg = DataConfig(data_type="ee_seg", max_points=4096, scale=200,
                          center_at_origin=True)
     rot_ds = AliveV2Dataset(samples=ee_samples, cfg=rot_cfg)
-    rot_model = RobotNetEncode(backbone=args.backbone, in_channels=3,
-                               out_channels=7)
+    rot_pose_w = 9 if args.rot_6d else 7
+    rot_model = RobotNetEncode(
+        backbone=args.backbone, in_channels=3,
+        out_channels=rot_pose_w + (3 if args.confidence else 0),
+        rot_dims=6 if args.rot_6d else 4)
     rstep, ropt = make_pose_train_step(
-        rot_model, rot_cfg, LossConfig(loss_type=LossType.COS2), tc,
+        rot_model, rot_cfg,
+        LossConfig(loss_type=(LossType.COS2_6D if args.rot_6d
+                              else LossType.COS2),
+                   compute_confidence=args.confidence), tc,
         voxel_capacity=2048)
     rtrainer = Trainer(rot_model, rot_ds, rstep, ropt, tc,
                        exp_path=f"{args.out}/rotation", exp_name="rot")
@@ -135,6 +147,7 @@ def main():
         seg_backbone=args.backbone, rot_backbone=args.backbone,
         kp_backbone=args.backbone, icp_iterations=15, icp_template_points=1024,
         kp_conf_threshold=0.5,
+        rot_6d=args.rot_6d, compute_confidence=args.confidence,
         # synthetic EE crops carry ~2048 points; the reference's 2048-point
         # confidence gate would reject everything at ~90% seg recall
         sanity_min_num_of_ee_points=1024)
