@@ -201,8 +201,34 @@ def _pose_to_mat(pose):
 
 
 def _mat_to_pose(m):
-    from ..geometry.transform import matrix_to_pose
-    return np.asarray(matrix_to_pose(m))
+    """Pure-numpy 4x4 -> [pos, WXYZ] (branching Shepperd).
+
+    The jax ``matrix_to_pose`` here cost a ~0.5 s device round-trip PER
+    SAMPLE (and deadlocked sample generation whenever another process held
+    the chip) — the data generator must never touch the accelerator."""
+    m = np.asarray(m, np.float64)
+    r = m[:3, :3]
+    tr = np.trace(r)
+    if tr > 0:
+        s = np.sqrt(tr + 1.0) * 2
+        q = np.array([0.25 * s, (r[2, 1] - r[1, 2]) / s,
+                      (r[0, 2] - r[2, 0]) / s, (r[1, 0] - r[0, 1]) / s])
+    elif r[0, 0] > r[1, 1] and r[0, 0] > r[2, 2]:
+        s = np.sqrt(1.0 + r[0, 0] - r[1, 1] - r[2, 2]) * 2
+        q = np.array([(r[2, 1] - r[1, 2]) / s, 0.25 * s,
+                      (r[0, 1] + r[1, 0]) / s, (r[0, 2] + r[2, 0]) / s])
+    elif r[1, 1] > r[2, 2]:
+        s = np.sqrt(1.0 + r[1, 1] - r[0, 0] - r[2, 2]) * 2
+        q = np.array([(r[0, 2] - r[2, 0]) / s, (r[0, 1] + r[1, 0]) / s,
+                      0.25 * s, (r[1, 2] + r[2, 1]) / s])
+    else:
+        s = np.sqrt(1.0 + r[2, 2] - r[0, 0] - r[1, 1]) * 2
+        q = np.array([(r[1, 0] - r[0, 1]) / s, (r[0, 2] + r[2, 0]) / s,
+                      (r[1, 2] + r[2, 1]) / s, 0.25 * s])
+    q = q / np.linalg.norm(q)
+    if q[0] < 0:
+        q = -q
+    return np.concatenate([m[:3, 3], q]).astype(np.float32)
 
 
 def _ee_pose_in_base(ee_cam_pose, base2cam):
