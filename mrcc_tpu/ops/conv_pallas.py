@@ -263,19 +263,38 @@ def _split_plan(n, c, k, kp, itemsize):
     if n * _padded_lanes(c_g) * itemsize > _TABLE_BUDGET:
         c_g = min(c_g, max(128, (_TABLE_BUDGET // (n * itemsize))
                            // 128 * 128))
+
+    def _packable(p):
+        return (n % (32 * p) == 0 and n // p >= 128
+                and (n // p) * 128 * itemsize <= _TABLE_BUDGET)
+
     pack = 1
-    if n * 128 * itemsize > _TABLE_BUDGET:
-        # 128-lane floor is over budget: lane-pack.  Packed window starts
-        # are 32-aligned in packed rows, so n must divide evenly.
+    over = n * 128 * itemsize > _TABLE_BUDGET
+    if c_g <= 64 and not over:
+        # narrow channels: pack to a DENSE 128-lane block in one group —
+        # the gather windows narrow ~pack-fold and the concat GEMM's K
+        # becomes 128-aligned (K=2592 measured 2x slower than K=3456,
+        # scripts/probe_gemm_shape.py)
+        sub = 32 if c_g <= 32 else 64
+        if _packable(128 // sub):
+            pack = 128 // sub
+            c_g = sub
+    elif over:
+        # over the VMEM table budget even at the 128-lane floor
+        # (production-scale levels): packing is REQUIRED.  Smallest pack
+        # that fits -> fewest channel groups (the GEMM dominates the step).
         for p in (2, 4):
-            if n % (32 * p) == 0 and (n // p) * 128 * itemsize \
-                    <= _TABLE_BUDGET:
+            if _packable(p):
                 pack = p
                 break
         if pack == 1:
             raise ValueError(f"table n={n} over budget even lane-packed"
                              " (gate with supported() first)")
         c_g = 128 // pack
+    if pack == 1 and c_g % 128:
+        # align the concat GEMM: pad the lane block to 128 (physically
+        # free — VMEM pads the table to 128 lanes either way)
+        c_g = _padded_lanes(c_g)
     n_cg = -(-c // c_g)
     c_pad = n_cg * c_g
     kg = min(_choose_kg(k, c_g * pack, kg_lanes), kp)

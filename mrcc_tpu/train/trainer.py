@@ -285,10 +285,16 @@ class Trainer:
                 batch = mesh_lib.pad_batch_to(batch, total)
                 batch = mesh_lib.shard_batch(batch, self.mesh)
             self.state, metrics = self.step_fn(self.state, batch, lr)
-            loss_meter.update(float(metrics["loss"]))
+            # keep the loss ON DEVICE: float() here would force a host
+            # round-trip per step (~ms each on the tunneled runtime),
+            # serializing the epoch.  One sync at epoch end instead.
+            loss_dev = (metrics["loss"] + loss_dev
+                        if n_batches else metrics["loss"])
             iter_time.update(time.time() - end)
             end = time.time()
             n_batches += 1
+        if n_batches:
+            loss_meter.update(float(loss_dev) / n_batches)
         for k in ("loss",):
             self.writer.add_scalar(f"{k}_train", loss_meter.avg, epoch)
         return {"loss": loss_meter.avg, "iter_time": iter_time.avg,
