@@ -95,3 +95,69 @@ def test_html_viewer_subsamples(tmp_path):
     import base64
     b64 = html.split('atob("')[1].split('")')[0]
     assert len(base64.b64decode(b64)) == 1000 * 12
+
+
+class TestViewers:
+    """Headless one-off viewers (reference visualization/viz_*.py)."""
+
+    @staticmethod
+    def _sample(seed=11):
+        from mrcc_tpu.data.synthetic import generate_sample
+
+        return generate_sample(seed=seed, n_ee=256, n_arm=256, n_bg=512)
+
+    def test_viz_segmentation(self, tmp_path):
+        from mrcc_tpu.viz.viewers import viz_segmentation
+
+        s = self._sample()
+        pred = np.asarray(s["labels"]).astype(int).copy()
+        pred[:50] = 0
+        out = tmp_path / "seg.png"
+        viz_segmentation(s, str(out), pred_labels=pred)
+        assert out.stat().st_size > 10000
+
+    def test_viz_ee_bbox_crops_ee(self, tmp_path):
+        from mrcc_tpu.viz.viewers import viz_ee_bbox
+
+        s = self._sample()
+        inside = viz_ee_bbox(s, str(tmp_path / "bbox.png"))
+        labels = np.asarray(s["labels"])
+        # the reference's hand-tuned box must contain most EE points
+        ee = labels == 2
+        assert (inside & ee).sum() / max(ee.sum(), 1) > 0.9
+        assert (tmp_path / "bbox.png").exists()
+
+    def test_viz_pcd_and_pickle(self, tmp_path):
+        from mrcc_tpu.viz.viewers import viz_pcd, viz_pickle
+
+        s = self._sample()
+        viz_pcd(np.asarray(s["points"]), str(tmp_path / "pcd.png"))
+        viz_pickle(s, str(tmp_path / "pk.png"),
+                   keypoints=np.asarray(s["points"])[:6])
+        assert (tmp_path / "pcd.png").exists()
+        assert (tmp_path / "pk.png").exists()
+
+    def test_viz_cross_section(self, tmp_path):
+        from mrcc_tpu.viz.viewers import viz_cross_section
+
+        viz_cross_section(self._sample(), str(tmp_path / "cs.png"))
+        assert (tmp_path / "cs.png").exists()
+
+    def test_viz_data_instances(self, tmp_path):
+        from mrcc_tpu.viz.viewers import viz_data_instances
+
+        viz_data_instances([self._sample(1), self._sample(2)],
+                           str(tmp_path / "inst.png"))
+        assert (tmp_path / "inst.png").exists()
+
+    def test_viz_collection_positions_recovers_extrinsic(self, tmp_path):
+        """Synthetic samples share ONE base2cam extrinsic: every derived
+        cam2base pose must coincide (spread ~ 0)."""
+        from mrcc_tpu.viz.viewers import viz_data_collection_positions
+
+        samples = [self._sample(i) for i in range(4)]
+        cams = viz_data_collection_positions(samples,
+                                             str(tmp_path / "pos.png"))
+        assert cams.shape == (4, 7)
+        assert np.allclose(cams[:, :3].std(axis=0), 0, atol=1e-4)
+        assert (tmp_path / "pos.png").exists()
