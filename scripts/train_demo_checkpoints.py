@@ -43,6 +43,12 @@ def main():
     ap.add_argument("--confidence", action="store_true",
                     help="train the cos2 confidence heads so the engine's "
                          "is_confident gate runs trained weights")
+    ap.add_argument("--pose-batch", type=int, default=None,
+                    help="batch size for the rotation/keypoint heads "
+                         "(default: --batch; large corpora want 32-64)")
+    ap.add_argument("--json-out", default=None,
+                    help="write the held-out benchmark stats table "
+                         "(Avg/Min/Max/Med/Std/N per metric) to this path")
     args = ap.parse_args()
 
     import jax
@@ -97,13 +103,17 @@ def main():
         backbone=args.backbone, in_channels=3,
         out_channels=rot_pose_w + (3 if args.confidence else 0),
         rot_dims=6 if args.rot_6d else 4)
+    rtc = (tc if args.pose_batch is None else
+           TrainConfig(lr=1e-3, batch_size=args.pose_batch,
+                       epochs=args.epochs,
+                       save_freq=max(args.epochs // 2, 1)))
     rstep, ropt = make_pose_train_step(
         rot_model, rot_cfg,
         LossConfig(loss_type=(LossType.COS2_6D if args.rot_6d
                               else LossType.COS2),
-                   compute_confidence=args.confidence), tc,
+                   compute_confidence=args.confidence), rtc,
         voxel_capacity=2048)
-    rtrainer = Trainer(rot_model, rot_ds, rstep, ropt, tc,
+    rtrainer = Trainer(rot_model, rot_ds, rstep, ropt, rtc,
                        exp_path=f"{args.out}/rotation", exp_name="rot")
     rhist = rtrainer.fit(epochs=args.pose_epochs or args.epochs)
     if rhist:
@@ -168,6 +178,31 @@ def main():
                       for k, v in res["metrics"].items() if v}, indent=2),
           flush=True)
     print("calibration:", res["calibration"], flush=True)
+
+    if args.json_out:
+        table = {}
+        for k, v in res["metrics"].items():
+            if not v:
+                continue
+            a = np.asarray(v, np.float64)
+            table[k] = {"Avg": float(a.mean()), "Min": float(a.min()),
+                        "Max": float(a.max()), "Med": float(np.median(a)),
+                        "Std": float(a.std()), "N": int(a.size)}
+        out = {"table": table,
+               "calibration": ({k: float(v)
+                                for k, v in res["calibration"].items()}
+                               if res["calibration"] else None),
+               "config": {"samples": args.samples, "epochs": args.epochs,
+                          "ee_mult": args.ee_mult,
+                          "pose_epochs": args.pose_epochs or args.epochs,
+                          "pose_batch": args.pose_batch or args.batch,
+                          "backbone": args.backbone,
+                          "rot_6d": args.rot_6d,
+                          "confidence": args.confidence}}
+        Path(args.json_out).parent.mkdir(parents=True, exist_ok=True)
+        with open(args.json_out, "w") as fp:
+            json.dump(out, fp, indent=2)
+        print(f"wrote {args.json_out}", flush=True)
 
 
 if __name__ == "__main__":
