@@ -515,6 +515,33 @@ class InferenceEngine:
                                                jax.sharding.PartitionSpec()))
                 self._params_replicated = True
         bundle = {"params": self.params, "template": self.template}
+        if jax.default_backend() == "cpu":
+            # XLA-CPU compiles the fused program MUCH slower than the four
+            # stages, and fusion only pays against the TPU tunnel's
+            # 1.3-2.5 ms/dispatch floor — run the staged jits off-TPU
+            # (identical math: the stages are the fused program's pieces).
+            params = bundle["params"]
+            seg, ee_count, ee_pts, ee_rgb, ee_valid, seg_overflow = \
+                self._seg_jit(params["segmentation"], points, rgb, mask)
+            ee_pose, rot_conf = self._pose_jit(params["rotation"], ee_pts,
+                                               ee_rgb, ee_valid)
+            kp_pose, kp_ok, kp_coords, kp_found, kp_conf = self._kp_jit(
+                params["key_points"], ee_pts, ee_rgb, ee_valid)
+            if self.cfg.icp_enabled:
+                ee_pose, kp_pose = self._icp_jit(
+                    bundle["template"], ee_pts, ee_valid, ee_pose, kp_pose)
+            return {
+                "segmentation": seg,
+                "seg_overflow": seg_overflow,
+                "ee_count": ee_count,
+                "ee_pose": ee_pose,
+                "rot_conf": rot_conf,
+                "kp_pose": kp_pose,
+                "kp_ok": kp_ok,
+                "kp_coords": kp_coords,
+                "kp_found": kp_found,
+                "kp_conf": kp_conf,
+            }
         return self._full_jit(bundle, points, rgb, mask)
 
     def _pad(self, points, rgb):

@@ -270,7 +270,13 @@ def _split_plan(n, c, k, kp, itemsize):
 
     pack = 1
     over = n * 128 * itemsize > _TABLE_BUDGET
-    if c_g <= 64 and not over:
+    # alignment/density choices are PERF-ONLY (VMEM lane padding and MXU
+    # K-tiling exist on hardware, not in interpret mode) — skip them on
+    # CPU so the oracle suite doesn't pay padded/packed XLA FLOPs.  The
+    # budget-REQUIRED pack below applies everywhere (tests force it by
+    # shrinking the budget).
+    perf_shapes = not _interpret()
+    if c_g <= 64 and not over and perf_shapes:
         # narrow channels: pack to a DENSE 128-lane block in one group —
         # the gather windows narrow ~pack-fold and the concat GEMM's K
         # becomes 128-aligned (K=2592 measured 2x slower than K=3456,
@@ -291,7 +297,7 @@ def _split_plan(n, c, k, kp, itemsize):
             raise ValueError(f"table n={n} over budget even lane-packed"
                              " (gate with supported() first)")
         c_g = 128 // pack
-    if pack == 1 and c_g % 128:
+    if pack == 1 and c_g % 128 and perf_shapes:
         # align the concat GEMM: pad the lane block to 128 (physically
         # free — VMEM pads the table to 128 lanes either way)
         c_g = _padded_lanes(c_g)
