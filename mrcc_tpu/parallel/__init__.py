@@ -1,6 +1,7 @@
-"""Device-mesh parallelism utilities (data-parallel over ICI)."""
+"""Device-mesh parallelism utilities (data-parallel over ICI; fleet.py
+stretches the same mesh over multi-host DCN)."""
 
-from . import mesh  # noqa: F401
+from . import fleet, mesh  # noqa: F401
 from .mesh import (  # noqa: F401
     DATA_AXIS,
     batch_sharding,

@@ -91,3 +91,47 @@ class TestMeshInference:
         np.testing.assert_allclose(out1["ee_pose"], out8["ee_pose"],
                                    atol=1e-2)
         np.testing.assert_array_equal(out1["kp_found"], out8["kp_found"])
+
+
+class TestFleet:
+    """Multi-host (DCN) helpers, degenerate single-process path."""
+
+    def test_init_distributed_noop_without_env(self, monkeypatch):
+        from mrcc_tpu.parallel import fleet
+
+        for k in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+                  "JAX_PROCESS_ID"):
+            monkeypatch.delenv(k, raising=False)
+        assert fleet.init_distributed() is False
+
+    def test_globalize_and_local_slice_roundtrip(self):
+        import jax
+
+        from mrcc_tpu.parallel import fleet
+
+        mesh = fleet.make_global_mesh()
+        assert mesh.devices.size == len(jax.devices())
+        b = mesh.devices.size * 2
+        x = np.arange(b * 3, dtype=np.float32).reshape(b, 3)
+        y = (x > 10).astype(np.float32)
+        gx, gy = fleet.globalize(mesh, x, y)
+        assert gx.shape == (b, 3)
+        assert gx.sharding.spec == jax.sharding.PartitionSpec("data")
+        np.testing.assert_array_equal(fleet.local_slice(gx), x)
+        np.testing.assert_array_equal(fleet.local_slice(gy), y)
+
+    def test_engine_accepts_global_mesh(self, oracle):
+        """The fleet mesh drives the same engine path as make_mesh."""
+        import jax
+
+        from mrcc_tpu.parallel import fleet
+
+        (pts, rgb, mask), out1 = oracle
+        mesh = fleet.make_global_mesh()
+        engine = InferenceEngine(small_cfg(), seed=0, mesh=mesh)
+        gpts, grgb, gmask = fleet.globalize(mesh, pts, rgb, mask)
+        out = jax.device_get(engine.predict_batch_arrays(gpts, grgb, gmask))
+        np.testing.assert_array_equal(out1["segmentation"],
+                                      out["segmentation"])
+        np.testing.assert_allclose(out1["ee_pose"], out["ee_pose"],
+                                   atol=1e-2)
