@@ -35,6 +35,7 @@ tests/test_conv_pallas.py.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -274,8 +275,10 @@ def _split_plan(n, c, k, kp, itemsize):
     # K-tiling exist on hardware, not in interpret mode) — skip them on
     # CPU so the oracle suite doesn't pay padded/packed XLA FLOPs.  The
     # budget-REQUIRED pack below applies everywhere (tests force it by
-    # shrinking the budget).
-    perf_shapes = not _interpret()
+    # shrinking the budget).  MRCC_CONV_PLAN=plain is the escape hatch to
+    # the round-2 plan shapes on hardware.
+    perf_shapes = (not _interpret()
+                   and os.environ.get("MRCC_CONV_PLAN", "") != "plain")
     if c_g <= 64 and not over and perf_shapes:
         # narrow channels: pack to a DENSE 128-lane block in one group —
         # the gather windows narrow ~pack-fold and the concat GEMM's K
