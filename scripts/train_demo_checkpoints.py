@@ -46,6 +46,10 @@ def main():
     ap.add_argument("--pose-batch", type=int, default=None,
                     help="batch size for the rotation/keypoint heads "
                          "(default: --batch; large corpora want 32-64)")
+    ap.add_argument("--mesh", type=int, default=None,
+                    help="data-parallel mesh size for training (any "
+                         "device kind; CPU needs "
+                         "xla_force_host_platform_device_count)")
     ap.add_argument("--json-out", default=None,
                     help="write the held-out benchmark stats table "
                          "(Avg/Min/Max/Med/Std/N per metric) to this path")
@@ -63,6 +67,11 @@ def main():
     from mrcc_tpu.train import checkpoint as ckpt
 
     print(f"devices: {jax.devices()}", flush=True)
+    mesh = None
+    if args.mesh:
+        from mrcc_tpu.parallel import make_mesh
+
+        mesh = make_mesh(args.mesh)
     samples = [generate_sample(seed=1000 + i, n_ee=2048, n_arm=3000,
                                n_bg=7000) for i in range(args.samples)]
     # pose/keypoint heads see only the EE crop — generate many cheap
@@ -83,7 +92,7 @@ def main():
                                      num_classes=3)
     step, opt = make_segmentation_train_step(seg_model, seg_cfg, tc,
                                              voxel_capacity=8192)
-    trainer = Trainer(seg_model, seg_ds, step, opt, tc,
+    trainer = Trainer(seg_model, seg_ds, step, opt, tc, mesh=mesh,
                       exp_path=f"{args.out}/segmentation", exp_name="seg")
     hist = trainer.fit(epochs=args.epochs)
     if hist:
@@ -113,7 +122,7 @@ def main():
                               else LossType.COS2),
                    compute_confidence=args.confidence), rtc,
         voxel_capacity=2048)
-    rtrainer = Trainer(rot_model, rot_ds, rstep, ropt, rtc,
+    rtrainer = Trainer(rot_model, rot_ds, rstep, ropt, rtc, mesh=mesh,
                        exp_path=f"{args.out}/rotation", exp_name="rot")
     rhist = rtrainer.fit(epochs=args.pose_epochs or args.epochs)
     if rhist:
@@ -131,9 +140,9 @@ def main():
     kp_ds = AliveV2Dataset(samples=ee_samples, cfg=kp_cfg)
     kp_model = RobotNetSegmentation(backbone=args.backbone, in_channels=3,
                                     num_classes=6)
-    kstep, kopt = make_segmentation_train_step(kp_model, kp_cfg, tc,
+    kstep, kopt = make_segmentation_train_step(kp_model, kp_cfg, rtc,
                                                voxel_capacity=4096)
-    ktrainer = Trainer(kp_model, kp_ds, kstep, kopt, tc,
+    ktrainer = Trainer(kp_model, kp_ds, kstep, kopt, rtc, mesh=mesh,
                        exp_path=f"{args.out}/key_points", exp_name="kp")
     khist = ktrainer.fit(epochs=args.pose_epochs or args.epochs)
     if khist:
