@@ -3,7 +3,9 @@
 gemm-only in probe_dot_overhead runs [256,3456]x[3456,128] at ~28 TF/s =
 one 128-row MXU pass per 128 cycles.  Is that the per-kernel ceiling, or
 do bigger/better-shaped dots engage more MXU throughput?  Compares the
-same shapes in XLA (jnp.dot under jit).
+same shapes in XLA (jnp.dot).  Marginal timing: X copies chained inside
+ONE jit minus the 1-copy program, so the ~2 ms tunnel dispatch floor
+cancels (the naive per-call version measured 0.1-4 TF/s for everything).
 
 Run alone on the TPU:  python scripts/probe_mxu_peak.py
 """
@@ -22,8 +24,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+REPS = 17
 
-def run(fn, *args, iters=10):
+
+def run(fn, *args, iters=5):
     out = fn(*args)
     jax.device_get(out.ravel()[0])
     t0 = time.perf_counter()
@@ -33,7 +37,7 @@ def run(fn, *args, iters=10):
     return (time.perf_counter() - t0) / iters
 
 
-def pallas_matmul(m, k, n, bm, bn, dtype):
+def pallas_matmul(m, k, n, bm, bn):
     def kernel(a_ref, b_ref, o_ref):
         o_ref[:, :] = jnp.dot(a_ref[:, :], b_ref[:, :],
                               preferred_element_type=jnp.float32)
@@ -54,29 +58,45 @@ def main():
     print(f"device: {jax.devices()[0].device_kind}")
     rng = np.random.default_rng(0)
     cases = [
-        # (m, k, n, bm, bn)
-        ("step-shape   ", 256, 3456, 128, 256, 128),
-        ("tall         ", 4096, 3456, 128, 512, 128),
-        ("wide-out     ", 256, 3456, 512, 256, 512),
-        ("square-big   ", 2048, 2048, 2048, 512, 512),
-        ("square-1blk  ", 1024, 1024, 1024, 1024, 1024),
+        ("step-shape ", 256, 3456, 128, 256, 128),
+        ("tall       ", 4096, 3456, 128, 512, 128),
+        ("wide-out   ", 256, 3456, 512, 256, 512),
+        ("sq-2048    ", 2048, 2048, 2048, 512, 512),
+        ("sq-1blk    ", 1024, 1024, 1024, 1024, 1024),
     ]
     for name, m, k, n, bm, bn in cases:
         a = jnp.asarray(rng.normal(size=(m, k)), jnp.bfloat16)
         b = jnp.asarray(rng.normal(size=(k, n)) / 60, jnp.bfloat16)
         fl = 2 * m * k * n
-        try:
-            f = jax.jit(pallas_matmul(m, k, n, bm, bn, jnp.bfloat16))
-            dt = run(f, a, b)
-            r = fl / dt / 1e12
-        except Exception as e:  # noqa: BLE001
-            print(f"{name} PALLAS FAILED {str(e)[:90]}")
-            r = float("nan")
-        fx = jax.jit(lambda a, b: jnp.dot(a, b,
-                                          preferred_element_type=jnp.float32))
-        dtx = run(fx, a, b)
-        rx = fl / dtx / 1e12
-        print(f"{name} [{m}x{k}x{n}] pallas {r:7.1f} TF/s   xla {rx:7.1f} TF/s")
+
+        def chain_p(a, b, x):
+            pc = pallas_matmul(m, k, n, bm, bn)
+            o = None
+            for i in range(x):
+                r = pc(a * (1.0 + i * 1e-6), b)
+                o = r if o is None else o + r
+            return o
+
+        def chain_x(a, b, x):
+            o = None
+            for i in range(x):
+                r = jnp.dot(a * (1.0 + i * 1e-6), b,
+                            preferred_element_type=jnp.float32)
+                o = r if o is None else o + r
+            return o
+
+        row = f"{name} [{m}x{k}x{n}]"
+        for tag, chain in (("pallas", chain_p), ("xla", chain_x)):
+            try:
+                f1 = jax.jit(functools.partial(chain, x=1))
+                fx = jax.jit(functools.partial(chain, x=REPS))
+                t1 = run(f1, a, b)
+                tx = run(fx, a, b)
+                marg = (tx - t1) / (REPS - 1)
+                row += f"   {tag} {fl/marg/1e12:7.1f} TF/s"
+            except Exception as e:  # noqa: BLE001
+                row += f"   {tag} FAILED {str(e)[:60]}"
+        print(row, flush=True)
 
 
 if __name__ == "__main__":
