@@ -65,41 +65,56 @@ class MinkUNetBase(nn.Module):
         return feats
 
     @nn.compact
-    def forward_except_final(self, feats, levels, train: bool = False):
+    def forward_except_final(self, feats, levels, train: bool = False,
+                             stop_stage: int = None):
         """U-Net forward up to (not including) the final 1x1 conv.
 
         Returns per-voxel features [B, N0, planes[7]*expansion] at level 0.
         Parity: minkunet.py:125 ``forward_except_final``.
+
+        ``stop_stage`` (profiling only): return the intermediate after stage
+        s in {0: stem, 1-4: encoder blocks, 5-8: decoder blocks}; params for
+        later stages are then never created (init with the same value).
         """
         l0, l1, l2, l3, l4 = levels[:5]
 
         out = SparseConvK3(self.init_dim, name="conv0p1s1")(feats, l0)
         out = SparseBatchNorm(name="bn0")(out, l0.valid, train=train)
         out_p1 = jax.nn.relu(out)
+        if stop_stage == 0:
+            return out_p1
 
         out = SparseConvDown(self.init_dim, name="conv1p1s2")(out_p1, l0, l1)
         out = SparseBatchNorm(name="bn1")(out, l1.valid, train=train)
         out = jax.nn.relu(out)
         out_b1p2 = self._blocks("block1", out, l1, self.planes[0],
                                 self.layers[0], train)
+        if stop_stage == 1:
+            return out_b1p2
 
         out = SparseConvDown(out_b1p2.shape[-1], name="conv2p2s2")(out_b1p2, l1, l2)
         out = SparseBatchNorm(name="bn2")(out, l2.valid, train=train)
         out = jax.nn.relu(out)
         out_b2p4 = self._blocks("block2", out, l2, self.planes[1],
                                 self.layers[1], train)
+        if stop_stage == 2:
+            return out_b2p4
 
         out = SparseConvDown(out_b2p4.shape[-1], name="conv3p4s2")(out_b2p4, l2, l3)
         out = SparseBatchNorm(name="bn3")(out, l3.valid, train=train)
         out = jax.nn.relu(out)
         out_b3p8 = self._blocks("block3", out, l3, self.planes[2],
                                 self.layers[2], train)
+        if stop_stage == 3:
+            return out_b3p8
 
         out = SparseConvDown(out_b3p8.shape[-1], name="conv4p8s2")(out_b3p8, l3, l4)
         out = SparseBatchNorm(name="bn4")(out, l4.valid, train=train)
         out = jax.nn.relu(out)
         out = self._blocks("block4", out, l4, self.planes[3],
                            self.layers[3], train)
+        if stop_stage == 4:
+            return out
 
         # decoder: stride 16 -> 8
         out = SparseConvTranspose(self.planes[4], name="convtr4p16s2")(out, l4, l3)
@@ -108,6 +123,8 @@ class MinkUNetBase(nn.Module):
         out = C.cat(out, out_b3p8, l3.valid)
         out = self._blocks("block5", out, l3, self.planes[4],
                            self.layers[4], train)
+        if stop_stage == 5:
+            return out
 
         out = SparseConvTranspose(self.planes[5], name="convtr5p8s2")(out, l3, l2)
         out = SparseBatchNorm(name="bntr5")(out, l2.valid, train=train)
@@ -115,6 +132,8 @@ class MinkUNetBase(nn.Module):
         out = C.cat(out, out_b2p4, l2.valid)
         out = self._blocks("block6", out, l2, self.planes[5],
                            self.layers[5], train)
+        if stop_stage == 6:
+            return out
 
         out = SparseConvTranspose(self.planes[6], name="convtr6p4s2")(out, l2, l1)
         out = SparseBatchNorm(name="bntr6")(out, l1.valid, train=train)
@@ -122,6 +141,8 @@ class MinkUNetBase(nn.Module):
         out = C.cat(out, out_b1p2, l1.valid)
         out = self._blocks("block7", out, l1, self.planes[6],
                            self.layers[6], train)
+        if stop_stage == 7:
+            return out
 
         out = SparseConvTranspose(self.planes[7], name="convtr7p2s2")(out, l1, l0)
         out = SparseBatchNorm(name="bntr7")(out, l0.valid, train=train)

@@ -157,6 +157,14 @@ def _downsample_one(off, key, valid, capacity, stride=2):
     parent key IS its parent's slot in the unique set, scattered back
     through the sort permutation — no second searchsorted (sorts are the
     dominant cost of hierarchy construction on TPU).
+
+    NOTE a sort-free variant (run-ids straight off ``p_key``) is
+    INCORRECT: per-field floor division does not preserve the
+    lexicographic arithmetic packing across field boundaries
+    ((0,1023,1023) < (1,0,0) but their stride-2 parents compare the other
+    way), so parent keys of sorted children are only piecewise sorted —
+    measured on-chip: run-id dedup then inflates unique counts ~3x at the
+    deep levels.
     """
     n = off.shape[0]
     p_off = off // stride

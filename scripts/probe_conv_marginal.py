@@ -63,15 +63,18 @@ def main():
     levels = jax.jit(build)(prep(pts, rgb, mask))
 
     # (tag, level_idx, cin==cout, count-in-18D-net)
+    # 18D decoder PLANES are 384 at EVERY level (the engine's backbone is
+    # MinkUNet18D) — earlier revisions modeled the default-PLANES c96
+    # decoder and under-estimated the net by ~110 ms.
     shapes = [
         ("k3 L0 c32", 0, 32, 1),       # stem class
-        ("k3 L0 c96", 0, 96, 7),       # block8 class (a is 128->96)
-        ("k3 L1 c96", 1, 96, 7),       # block7 class
-        ("k3 L2 c96", 2, 96, 7),       # block6 class (P=384 -> split x?)
+        ("k3 L0 c384", 0, 384, 4),     # block8 class (a is 416->384)
+        ("k3 L1 c384", 1, 384, 4),     # block7 class (a is 448->384)
+        ("k3 L2 c384", 2, 384, 4),     # block6 class (a is 448->384)
         ("k3 L1 c32", 1, 32, 4),       # block1 class
         ("k3 L2 c64", 2, 64, 4),       # block2 class
         ("k3 L3 c128", 3, 128, 4),     # block3 class
-        ("k3 L3 c384", 3, 384, 4),     # block5 class
+        ("k3 L3 c384", 3, 384, 4),     # block5 class (a is 512->384)
         ("k3 L4 c256", 4, 256, 4),     # block4 class
     ]
     rng = np.random.default_rng(0)
