@@ -85,12 +85,15 @@ def default_window(t: int, n: int) -> int:
     """Canonical window width for tile size t over an n-row table (shared
     with ops/rank_pallas.py so level-cached maps are reusable by convs).
 
-    W = T + 128: a tile of T monotone same-density indices spans ~T rows,
-    so T + 128 absorbs the 8-aligned start slack and stays one chunk;
-    round-2's W = 2T paid double the gather FLOPs for coverage the chunk
-    loop already guarantees."""
+    W = T + 64: a tile of T monotone same-density indices spans ~T rows;
+    starts are aligned down to 32, so 64 rows of slack cover the alignment
+    plus typical density variation, and the chunk loop guarantees
+    exactness for the tail of wider-span tiles.  (W = T + 128 paid 17%
+    more gather FLOPs on every offset to shave chunk-loop iterations that
+    occur on only a few (offset, tile) pairs; W = 2T before that paid
+    double.)"""
     n8 = n - (n % 8)
-    return max(8, min(max(t + 128, 128), n8))
+    return max(8, min(max(t + 64, 128), n8))
 
 
 def packed_window(t: int, pack: int, n_p: int) -> int:
@@ -202,11 +205,14 @@ def _gather_gemm_call(idx_t, starts, nchunks, feats, w_grp,
 
         @pl.when(kgi == 0)
         def _():
-            out_ref[0, :, :] = contrib
+            out_ref[0, :, :] = contrib.astype(out_ref.dtype)
 
         @pl.when(kgi != 0)
         def _():
-            out_ref[0, :, :] = out_ref[0, :, :] + contrib
+            # cross-offset-group accumulation requires f32 output blocks
+            # (the caller only requests a narrower out_dtype when n_kg == 1)
+            out_ref[0, :, :] = (out_ref[0, :, :]
+                                + contrib.astype(out_ref.dtype))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -225,7 +231,7 @@ def _gather_gemm_call(idx_t, starts, nchunks, feats, w_grp,
     )
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, n_out, cout), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, n_out, cout), out_dtype),
         grid_spec=grid_spec,
         interpret=_interpret(),
     )(starts, nchunks, idx_t, feats, w_grp)
@@ -376,6 +382,13 @@ def gather_gemm_conv_tiled(feats, weights, tiled, out_valid, bias=None,
                      ((0, n_kg * kg - k), (0, 0), (0, 0)))
     b = feats.shape[0]
     w_call = packed_window(t, pack, n // pack) if pack > 1 else w_width
+    # write the kernel output in the compute dtype when no cross-offset-
+    # group accumulation happens in out_ref (n_kg == 1, the universal case
+    # by plan): halves the conv's output HBM traffic and deletes the
+    # f32 -> bf16 cast pass.  Channel-group partials then also add in the
+    # compute dtype (each partial is a correctly-rounded cast of an f32
+    # MXU accumulation; the extra rounding is within bf16 compute noise).
+    out_dtype = feats.dtype if n_kg == 1 else jnp.float32
     out = None
     for cg in range(n_cg):
         f_sl = feats[:, :, cg * c_g:(cg + 1) * c_g]
@@ -388,7 +401,7 @@ def gather_gemm_conv_tiled(feats, weights, tiled, out_valid, bias=None,
         w_sl = w_sl.reshape(n_kg, kg * pack * c_g, cout)
         contrib = _gather_gemm_call(idx_t, starts_f, nchunks_f, f_sl,
                                     w_sl, t=t, w=w_call, kg=kg, n_out=n_out,
-                                    cout=cout, out_dtype=jnp.float32,
+                                    cout=cout, out_dtype=out_dtype,
                                     pack=pack, w_raw=w_width)
         out = contrib if out is None else out + contrib
     out = out.astype(feats.dtype)
@@ -433,9 +446,10 @@ def _padded_lanes(c: int) -> int:
 
 @functools.partial(
     jax.jit, static_argnames=("t", "w", "kg", "n_out", "cout",
-                              "pack", "w_raw"))
+                              "pack", "w_raw", "out_dtype"))
 def _gather_gemm_call_q8(idx_t, starts, nchunks, feats_q, w_q, vco,
-                         t, w, kg, n_out, cout, pack=1, w_raw=None):
+                         t, w, kg, n_out, cout, pack=1, w_raw=None,
+                         out_dtype=jnp.float32):
     """int8 variant of :func:`_gather_gemm_call` (n_kg == 1 by plan).
 
     feats_q: [B, N, C] int8 (lane-packed like the bf16 kernel when
@@ -501,7 +515,8 @@ def _gather_gemm_call_q8(idx_t, starts, nchunks, feats_q, w_q, vco,
 
         acc = jnp.dot(gall_ref[:, :], w_ref[0],
                       preferred_element_type=jnp.int32)
-        out_ref[0, :, :] = acc.astype(jnp.float32) * vco_ref[0, :][None, :]
+        out_ref[0, :, :] = (acc.astype(jnp.float32)
+                            * vco_ref[0, :][None, :]).astype(out_ref.dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -522,7 +537,7 @@ def _gather_gemm_call_q8(idx_t, starts, nchunks, feats_q, w_q, vco,
     )
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, n_out, cout), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, n_out, cout), out_dtype),
         grid_spec=grid_spec,
         interpret=_interpret(),
     )(starts, nchunks, idx_t, feats_q, w_q, vco)
@@ -571,7 +586,7 @@ def gather_gemm_conv_tiled_q8(feats, weights, tiled, out_valid, bias=None,
         contrib = _gather_gemm_call_q8(
             idx_t, starts_f, nchunks_f, f_sl, w_q, m_co[None, :],
             t=t, w=w_call, kg=kg, n_out=n_out, cout=cout,
-            pack=pack, w_raw=w_width)
+            pack=pack, w_raw=w_width, out_dtype=feats.dtype)
         out = contrib if out is None else out + contrib
     out = out.astype(feats.dtype)
     if bias is not None:

@@ -176,7 +176,10 @@ def rank_lookup(keys, qbase, deltas, qvalid, t=None, w=None,
     # pack emitted below retiles to 256 rows (pure reshape of the same
     # data) where the bigger tile halves the conv's grid steps.
     t = t or min(_pick_tile(nq), 128)
-    w = w or default_window(t, n)
+    # this kernel slices the LANE axis (int32 keys), so its window width
+    # must be a 128-multiple — round the shared convention up (the conv
+    # pack below uses the conv's own finer-granularity window)
+    w = w or min(-(-default_window(t, n) // 128) * 128, max(n - n % 128, 128))
     nt = nq // t
     kp = max(8, -(-k // 8) * 8)
 
