@@ -109,10 +109,10 @@ def packed_window(t: int, pack: int, n_p: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("t", "w", "kg", "n_out", "cout", "out_dtype",
-                     "pack", "w_raw"))
+                     "pack", "w_raw", "identity_k", "bcast_k"))
 def _gather_gemm_call(idx_t, starts, nchunks, feats, w_grp,
                       t, w, kg, n_out, cout, out_dtype,
-                      pack=1, w_raw=None):
+                      pack=1, w_raw=None, identity_k=None, bcast_k=False):
     """The pallas_call wrapper (all shapes static).
 
     idx_t: [B, nt, KP, T] int32, misses = _MISS (KP >= n_groups*kg,
@@ -128,13 +128,25 @@ def _gather_gemm_call(idx_t, starts, nchunks, feats, w_grp,
       masked down to the per-output-row sub-row group afterwards (the
       weights are group-tiled by the caller so no lane shuffle is needed).
     w_grp: [n_groups, kg*C, Cout] (feats dtype).
-    Returns [B, n_out, Cout] float32.
+    identity_k: static offset index whose map is the identity (k=3 s=1
+      delta (0,0,0): rank(key_i + 0) == i, always hit on valid rows) —
+      its gather is a direct window slice, no one-hot dot.  Requires
+      n == n_out and table padding rows to be exactly zero (the sparse
+      core's invariant).  pack == 1 only.
+    bcast_k: static; the offsets of every group share ONE index vector
+      (octant/up maps: idx_k = parent_idx for all k, misses select the
+      octant).  Gather once per group with union-span scalars (see
+      build_tiled_maps ``span_hit``), then write per-offset masked
+      copies — kg-1 fewer dots per group.
+    Returns [B, n_out, Cout] ``out_dtype``.
     """
     b, n, c = feats.shape
     nt = n_out // t
     n_kg = w_grp.shape[0]
     kp = idx_t.shape[2]
     assert n_kg * kg <= kp
+    if identity_k is not None and pack == 1:
+        assert n == n_out, (n, n_out)  # identity rows are the tile's own
     if pack > 1:
         assert n % 32 == 0 and w % 32 == 0 and w_raw is not None
         assert c % pack == 0
@@ -152,16 +164,18 @@ def _gather_gemm_call(idx_t, starts, nchunks, feats, w_grp,
             lane_grp = jax.lax.broadcasted_iota(
                 jnp.int32, (t, c), 1) // c_sub
 
-        for j in range(kg):
-            k = kgi * kg + j
-            flat = (k * pl.num_programs(0) + bi) * nt + ti
+        def gather_one(k):
+            """Windowed one-hot gather for offset k's index row (chunk
+            loop makes arbitrary spans exact; see gather_union)."""
+            return gather_union(idx_ref[0, 0, k, :], k)
+
+        def gather_union(idxv, k_scal):
+            """gather_one with an explicit index vector (union of the
+            group's rows; scalars from slot k_scal)."""
+            flat = (k_scal * pl.num_programs(0) + bi) * nt + ti
             st_raw = starts_ref[flat]
             nch_raw = nchunks_ref[flat]
-            idxv = idx_ref[0, 0, k, :]                   # [T], misses << 0
             if pack > 1:
-                # derive packed window scalars from the raw map: the raw
-                # span is inside [st_raw, st_raw + nch*w_raw), so packed
-                # rows sit within bound packed rows of the aligned start
                 stp0 = st_raw >> shift
                 st = jnp.maximum(stp0 - stp0 % 32, 0)
                 st = jnp.minimum(st, n - w)
@@ -173,19 +187,14 @@ def _gather_gemm_call(idx_t, starts, nchunks, feats, w_grp,
                 st = st_raw
                 nch = nch_raw
                 local0 = idxv - st
-            # chunk 0: rows with local0 in [0, W) — enforced by the equality
             base = local0[:, None] == iota_w
             window0 = feats_ref[0, pl.ds(pl.multiple_of(st, align), w), :]
             g = jnp.dot(base.astype(window0.dtype), window0,
                         preferred_element_type=jnp.float32)
 
             def chunk_body(ci, acc):
-                # chunk ci owns rows with local0 in [ci*W, (ci+1)*W) — a
-                # disjoint partition of the span, so clamped (overlapping)
-                # physical windows can never double-count a row
-                # st, ci*w and n-w are all multiples of 8 — hint Mosaic
                 wst = pl.multiple_of(jnp.minimum(st + ci * w, n - w), align)
-                lo = local0[:, None] - (wst - st)  # idx - wst
+                lo = local0[:, None] - (wst - st)
                 oh = ((lo == iota_w)
                       & (local0[:, None] >= ci * w)
                       & (local0[:, None] < (ci + 1) * w))
@@ -195,10 +204,41 @@ def _gather_gemm_call(idx_t, starts, nchunks, feats, w_grp,
 
             g = jax.lax.fori_loop(1, nch, chunk_body, g)
             if pack > 1:
-                # keep only the sub-row group this output row gathered
-                # (the other lane groups hold the packed row's neighbours)
                 g = jnp.where(lane_grp == rbits[:, None], g, 0.0)
-            gall_ref[:, j * c:(j + 1) * c] = g.astype(gall_ref.dtype)
+            return g
+
+        # the identity/bcast shortcuts need STATIC offset indices, so they
+        # are only enabled when n_kg == 1 (k == j at compile time — the
+        # universal case by _split_plan; wrappers enforce the gate)
+        if bcast_k:
+            # octant/up maps: all real offsets in the group share the same
+            # index vector; misses select the octant.  Gather ONCE (union
+            # scalars from build_tiled_maps span_hit), then write masked
+            # per-offset copies — kg-1 dots saved.
+            idx_u = idx_ref[0, 0, 0, :]
+            for j in range(1, kg):
+                idx_u = jnp.maximum(idx_u, idx_ref[0, 0, j, :])
+            g_u = gather_union(idx_u, 0)
+            for j in range(kg):
+                hit_j = idx_ref[0, 0, j, :] >= 0
+                gall_ref[:, j * c:(j + 1) * c] = jnp.where(
+                    hit_j[:, None], g_u, 0).astype(gall_ref.dtype)
+        else:
+            for j in range(kg):
+                if (identity_k is not None and pack == 1 and n_kg == 1
+                        and j == identity_k):
+                    # compile-time branch: the identity offset copies the
+                    # tile's own rows (table padding rows are zero, missing
+                    # rows are masked by idx >= 0)
+                    idxv = idx_ref[0, 0, j, :]
+                    rows = feats_ref[0, pl.ds(ti * t, t), :]
+                    gall_ref[:, j * c:(j + 1) * c] = jnp.where(
+                        idxv[:, None] >= 0, rows, 0
+                    ).astype(gall_ref.dtype)
+                    continue
+                k = kgi * kg + j
+                gall_ref[:, j * c:(j + 1) * c] = gather_one(k).astype(
+                    gall_ref.dtype)
 
         contrib = jnp.dot(gall_ref[:, :].astype(w_ref.dtype), w_ref[0],
                           preferred_element_type=jnp.float32)
@@ -320,13 +360,19 @@ def _split_plan(n, c, k, kp, itemsize):
     return c_g, n_cg, c_pad, kg, n_kg, pack
 
 
-def build_tiled_maps(nbr_idx, nbr_hit, n, t=None, w_width=None, kp=None):
+def build_tiled_maps(nbr_idx, nbr_hit, n, t=None, w_width=None, kp=None,
+                     span_hit=None):
     """Tiled kernel-map layout + per-(k, b, tile) window scalars.
 
     Returns (idx_t [B, nt, KP, T] with misses = _MISS, starts [KP*B*nt],
     nchunks).  Cache this per hierarchy level — every conv on the level
     shares it (t is implied by idx_t's last dim; w by
     :func:`default_window`).
+
+    ``span_hit`` (optional [K, B, N]): hits to compute the window scalars
+    over, when wider than ``nbr_hit``.  Broadcast (octant) maps pass the
+    any-octant union here so every offset's scalars cover the shared
+    gather window (kernel ``bcast_k`` mode gathers once per group).
     """
     k, b, n_out = nbr_idx.shape
     t = t or _pick_tile(n_out)
@@ -336,8 +382,10 @@ def build_tiled_maps(nbr_idx, nbr_hit, n, t=None, w_width=None, kp=None):
 
     idx_r = nbr_idx.reshape(k, b, nt, t)
     hit_r = nbr_hit.reshape(k, b, nt, t)
-    lo = jnp.where(hit_r, idx_r, n - 1).min(axis=-1)      # [k, b, nt]
-    hi = jnp.where(hit_r, idx_r, 0).max(axis=-1)
+    span_r = (hit_r if span_hit is None
+              else span_hit.reshape(k, b, nt, t))
+    lo = jnp.where(span_r, idx_r, n - 1).min(axis=-1)     # [k, b, nt]
+    hi = jnp.where(span_r, idx_r, 0).max(axis=-1)
     # 32-aligned starts: int8 sublane granularity (bf16 needs only 8)
     starts = jnp.minimum(lo - (lo % 32), jnp.maximum(n - w_width, 0))
     starts = jnp.maximum(starts, 0)
@@ -357,11 +405,13 @@ def build_tiled_maps(nbr_idx, nbr_hit, n, t=None, w_width=None, kp=None):
 
 
 def gather_gemm_conv_tiled(feats, weights, tiled, out_valid, bias=None,
-                           k=None, w_width=None):
+                           k=None, w_width=None, identity_k=None,
+                           bcast_k=False):
     """Conv on a precomputed tiled map (see :func:`build_tiled_maps`).
 
     ``w_width`` must match the width the map's nchunks were computed for
-    (defaults to :func:`default_window`, the shared convention)."""
+    (defaults to :func:`default_window`, the shared convention).
+    ``identity_k``/``bcast_k``: see :func:`_gather_gemm_call`."""
     idx_t, starts_f, nchunks_f = tiled
     b, n, c = feats.shape
     t = idx_t.shape[3]
@@ -402,7 +452,11 @@ def gather_gemm_conv_tiled(feats, weights, tiled, out_valid, bias=None,
         contrib = _gather_gemm_call(idx_t, starts_f, nchunks_f, f_sl,
                                     w_sl, t=t, w=w_call, kg=kg, n_out=n_out,
                                     cout=cout, out_dtype=out_dtype,
-                                    pack=pack, w_raw=w_width)
+                                    pack=pack, w_raw=w_width,
+                                    identity_k=(identity_k
+                                                if pack == 1 and n_kg == 1
+                                                else None),
+                                    bcast_k=bcast_k and n_kg == 1)
         out = contrib if out is None else out + contrib
     out = out.astype(feats.dtype)
     if bias is not None:
@@ -446,10 +500,12 @@ def _padded_lanes(c: int) -> int:
 
 @functools.partial(
     jax.jit, static_argnames=("t", "w", "kg", "n_out", "cout",
-                              "pack", "w_raw", "out_dtype"))
+                              "pack", "w_raw", "out_dtype", "identity_k",
+                              "bcast_k"))
 def _gather_gemm_call_q8(idx_t, starts, nchunks, feats_q, w_q, vco,
                          t, w, kg, n_out, cout, pack=1, w_raw=None,
-                         out_dtype=jnp.float32):
+                         out_dtype=jnp.float32, identity_k=None,
+                         bcast_k=False):
     """int8 variant of :func:`_gather_gemm_call` (n_kg == 1 by plan).
 
     feats_q: [B, N, C] int8 (lane-packed like the bf16 kernel when
@@ -475,11 +531,10 @@ def _gather_gemm_call_q8(idx_t, starts, nchunks, feats_q, w_q, vco,
             lane_grp = jax.lax.broadcasted_iota(
                 jnp.int32, (t, c), 1) // c_sub
 
-        for j in range(kg):
-            flat = (j * pl.num_programs(0) + bi) * nt + ti
+        def gather_union(idxv, k_scal):
+            flat = (k_scal * pl.num_programs(0) + bi) * nt + ti
             st_raw = starts_ref[flat]
             nch_raw = nchunks_ref[flat]
-            idxv = idx_ref[0, 0, j, :]
             if pack > 1:
                 stp0 = st_raw >> shift
                 st = jnp.maximum(stp0 - stp0 % 32, 0)
@@ -510,8 +565,28 @@ def _gather_gemm_call_q8(idx_t, starts, nchunks, feats_q, w_q, vco,
             g = jax.lax.fori_loop(1, nch, chunk_body, g)
             if pack > 1:
                 g = jnp.where(lane_grp == rbits[:, None], g, 0)
-            # one-hot rows copy table entries verbatim: values stay int8
-            gall_ref[:, j * c:(j + 1) * c] = g.astype(jnp.int8)
+            return g
+
+        if bcast_k:
+            idx_u = idx_ref[0, 0, 0, :]
+            for j in range(1, kg):
+                idx_u = jnp.maximum(idx_u, idx_ref[0, 0, j, :])
+            g_u = gather_union(idx_u, 0)
+            for j in range(kg):
+                hit_j = idx_ref[0, 0, j, :] >= 0
+                gall_ref[:, j * c:(j + 1) * c] = jnp.where(
+                    hit_j[:, None], g_u, 0).astype(jnp.int8)
+        else:
+            for j in range(kg):
+                if identity_k is not None and pack == 1 and j == identity_k:
+                    idxv = idx_ref[0, 0, j, :]
+                    rows = feats_ref[0, pl.ds(ti * t, t), :]
+                    gall_ref[:, j * c:(j + 1) * c] = jnp.where(
+                        idxv[:, None] >= 0, rows, 0).astype(jnp.int8)
+                    continue
+                g = gather_union(idx_ref[0, 0, j, :], j)
+                # one-hot rows copy table entries verbatim: stays int8
+                gall_ref[:, j * c:(j + 1) * c] = g.astype(jnp.int8)
 
         acc = jnp.dot(gall_ref[:, :], w_ref[0],
                       preferred_element_type=jnp.int32)
@@ -544,7 +619,8 @@ def _gather_gemm_call_q8(idx_t, starts, nchunks, feats_q, w_q, vco,
 
 
 def gather_gemm_conv_tiled_q8(feats, weights, tiled, out_valid, bias=None,
-                              k=None, w_width=None):
+                              k=None, w_width=None, identity_k=None,
+                              bcast_k=False):
     """Quantized conv on a precomputed tiled map (inference only).
 
     feats: [B, N, C] float (bf16/f32); weights [K, Cin, Cout] f32.
@@ -586,7 +662,10 @@ def gather_gemm_conv_tiled_q8(feats, weights, tiled, out_valid, bias=None,
         contrib = _gather_gemm_call_q8(
             idx_t, starts_f, nchunks_f, f_sl, w_q, m_co[None, :],
             t=t, w=w_call, kg=kg, n_out=n_out, cout=cout,
-            pack=pack, w_raw=w_width, out_dtype=feats.dtype)
+            pack=pack, w_raw=w_width, out_dtype=feats.dtype,
+            identity_k=(identity_k if pack == 1
+                        and feats.shape[1] == n_out else None),
+            bcast_k=bcast_k)
         out = contrib if out is None else out + contrib
     out = out.astype(feats.dtype)
     if bias is not None:
@@ -755,6 +834,13 @@ def dw_gather_gemm(feats, g, tiled, k, cin, w_width=None):
     return dw[:k, :c, :]
 
 
+# identity-offset index per forward mode: K3_OFFSETS[13] == (0, 0, 0)
+# (z-fastest enumeration, sparse/hierarchy.py).  k=2 s=2 maps have no
+# identity offset; "up" maps are broadcast instead.
+_IDENTITY_K = {"k3": 13}
+_BWD_BCAST = {"down": True}  # down's backward runs the up (octant) maps
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def pallas_conv_op(mode, feats, weights, fi, fs, fn,
                    bi_, bs, bn, in_valid, out_valid):
@@ -767,7 +853,9 @@ def pallas_conv_op(mode, feats, weights, fi, fs, fn,
     (bi_, bs, bn): backward tiled maps (output table -> input rows).
     """
     return gather_gemm_conv_tiled(feats, weights, (fi, fs, fn),
-                                  out_valid, k=weights.shape[0])
+                                  out_valid, k=weights.shape[0],
+                                  identity_k=_IDENTITY_K.get(mode),
+                                  bcast_k=mode == "up")
 
 
 def _pallas_conv_fwd(mode, feats, weights, fi, fs, fn,
@@ -788,7 +876,8 @@ def _pallas_conv_bwd(mode, res, g):
     else:
         wb = weights.swapaxes(1, 2)
     dfeats = gather_gemm_conv_tiled(g_m, wb, (bi_, bs, bn), in_valid,
-                                    k=k)
+                                    k=k, identity_k=_IDENTITY_K.get(mode),
+                                    bcast_k=_BWD_BCAST.get(mode, False))
     dw = dw_gather_gemm(feats, g_m, (fi, fs, fn), k,
                         cin=feats.shape[-1]).astype(weights.dtype)
 

@@ -30,6 +30,24 @@ def _pallas_route(feats, nbr_idx):
     return conv_pallas.supported(nbr_idx, feats)
 
 
+def _pallas_route_tiled(feats, tiled):
+    """Pallas-route check from a tiled map pack alone (the untiled
+    [K, B, N] arrays are optional on the inference path — see
+    ``build_hierarchy(keep_untiled=False)``)."""
+    impl = _current_impl()
+    if impl not in ("pallas", "pallas-int8"):
+        return False
+    from ..ops import conv_pallas
+
+    if impl == "pallas-int8" and feats.shape[-2] % 32 != 0:
+        return False  # int8 sublane granularity
+    idx_t = tiled[0]                                  # [B, nt, KP, T]
+    n_out = idx_t.shape[1] * idx_t.shape[3]
+    itemsize = jnp.dtype(feats.dtype).itemsize
+    return conv_pallas.supported_dims(feats.shape[-2], n_out,
+                                      itemsize=itemsize)
+
+
 def _q8():
     return _current_impl() == "pallas-int8"
 
@@ -101,18 +119,23 @@ def conv_k3(feats, weights, level, bias=None):
     The Pallas route is differentiable: submanifold adjacency is symmetric,
     so the backward conv runs the SAME tiled map with W'[k] = W[26-k]^T
     (ops/conv_pallas.py custom VJP)."""
-    if level.nbr_tiled is not None and _pallas_route(feats, level.nbr_idx):
+    if (level.nbr_tiled is not None
+            and _pallas_route_tiled(feats, level.nbr_tiled)):
         if _q8():
             from ..ops.conv_pallas import gather_gemm_conv_tiled_q8
 
             return gather_gemm_conv_tiled_q8(feats, weights,
                                              level.nbr_tiled, level.valid,
-                                             bias=bias, k=weights.shape[0])
+                                             bias=bias, k=weights.shape[0],
+                                             identity_k=13)
         from ..ops.conv_pallas import pallas_conv_op
 
         out = pallas_conv_op("k3", feats, weights, *level.nbr_tiled,
                              *level.nbr_tiled, level.valid, level.valid)
         return _with_bias(out, bias, level.valid, feats.dtype)
+    assert level.nbr_idx is not None, (
+        "untiled k3 maps were skipped at build time (keep_untiled=False) "
+        "but the Pallas route rejected this shape")
     return conv_kernel_map(feats, weights, level.nbr_idx, level.nbr_hit,
                            level.valid, bias=bias)
 
@@ -125,7 +148,7 @@ def conv_down(feats, weights, fine_level, coarse_level, bias=None):
     cached ``up_tiled`` map (dfeats = transpose conv with W^T).
     """
     if (coarse_level.child_tiled is not None and _q8()
-            and _pallas_route(feats, coarse_level.child_idx)):
+            and _pallas_route_tiled(feats, coarse_level.child_tiled)):
         from ..ops.conv_pallas import gather_gemm_conv_tiled_q8
 
         return gather_gemm_conv_tiled_q8(feats, weights,
@@ -135,7 +158,7 @@ def conv_down(feats, weights, fine_level, coarse_level, bias=None):
     if (coarse_level.child_tiled is not None
             and weights.shape[0] == 8
             and fine_level.up_tiled is not None
-            and _pallas_route(feats, coarse_level.child_idx)):
+            and _pallas_route_tiled(feats, coarse_level.child_tiled)):
         from ..ops.conv_pallas import pallas_conv_op
 
         out = pallas_conv_op("down", feats, weights,
@@ -144,13 +167,16 @@ def conv_down(feats, weights, fine_level, coarse_level, bias=None):
                              fine_level.valid, coarse_level.valid)
         return _with_bias(out, bias, coarse_level.valid, feats.dtype)
     if (coarse_level.child_tiled is not None
-            and _pallas_route(feats, coarse_level.child_idx)):
+            and _pallas_route_tiled(feats, coarse_level.child_tiled)):
         from ..ops.conv_pallas import gather_gemm_conv_tiled
 
         return gather_gemm_conv_tiled(feats, weights,
                                       coarse_level.child_tiled,
                                       coarse_level.valid, bias=bias,
                                       k=weights.shape[0])
+    assert coarse_level.child_idx is not None, (
+        "untiled child maps were skipped at build time (keep_untiled=False)"
+        " but the Pallas route rejected this shape")
     return conv_kernel_map(feats, weights, coarse_level.child_idx,
                            coarse_level.child_hit, coarse_level.valid, bias=bias)
 
@@ -163,16 +189,16 @@ def conv_transpose_up(feats, weights, coarse_level, fine_level, bias=None):
     ``out[c] = feats[parent(c)] @ W[octant(c)]``.
     """
     if (fine_level.up_tiled is not None and _q8()
-            and _pallas_route(feats, fine_level.parent_idx[None])):
+            and _pallas_route_tiled(feats, fine_level.up_tiled)):
         from ..ops.conv_pallas import gather_gemm_conv_tiled_q8
 
         return gather_gemm_conv_tiled_q8(feats, weights,
                                          fine_level.up_tiled,
                                          fine_level.valid, bias=bias,
-                                         k=weights.shape[0])
+                                         k=weights.shape[0], bcast_k=True)
     if (fine_level.up_tiled is not None and weights.shape[0] == 8
             and coarse_level.child_tiled is not None
-            and _pallas_route(feats, fine_level.parent_idx[None])):
+            and _pallas_route_tiled(feats, fine_level.up_tiled)):
         from ..ops.conv_pallas import pallas_conv_op
 
         out = pallas_conv_op("up", feats, weights,

@@ -119,9 +119,13 @@ def _up_tiled_maps(parent_idx, parent_ok, octant, fine_valid,
 
     k = 8
     idx8 = jnp.broadcast_to(parent_idx[None], (k,) + parent_idx.shape)
-    hit8 = ((octant[None] == jnp.arange(k)[:, None, None])
-            & fine_valid[None] & parent_ok[None])
-    return build_tiled_maps(idx8, hit8, coarse_capacity)
+    hit_any = fine_valid & parent_ok
+    hit8 = (octant[None] == jnp.arange(k)[:, None, None]) & hit_any[None]
+    # union spans: every offset shares the SAME index vector, so the
+    # window scalars must cover the any-octant span — enables the conv
+    # kernel's bcast_k mode (one gather per group instead of 8)
+    span8 = jnp.broadcast_to(hit_any[None], hit8.shape)
+    return build_tiled_maps(idx8, hit8, coarse_capacity, span_hit=span8)
 
 
 def _neighbor_table_one(off, key, valid, offsets):
