@@ -50,6 +50,10 @@ def main():
                     help="data-parallel mesh size for training (any "
                          "device kind; CPU needs "
                          "xla_force_host_platform_device_count)")
+    ap.add_argument("--conv-impl", default="auto",
+                    help="engine conv impl for the held-out benchmark "
+                         "(auto|pallas|pallas-int8|xla) — int8 vs bf16 "
+                         "accuracy-delta runs restore the same checkpoints")
     ap.add_argument("--json-out", default=None,
                     help="write the held-out benchmark stats table "
                          "(Avg/Min/Max/Med/Std/N per metric) to this path")
@@ -165,7 +169,7 @@ def main():
         ee_voxel_capacity=2048, kp_voxel_capacity=4096,
         seg_backbone=args.backbone, rot_backbone=args.backbone,
         kp_backbone=args.backbone, icp_iterations=15, icp_template_points=1024,
-        kp_conf_threshold=0.5,
+        kp_conf_threshold=0.5, conv_impl=args.conv_impl,
         rot_6d=args.rot_6d, compute_confidence=args.confidence,
         # synthetic EE crops carry ~2048 points; the reference's 2048-point
         # confidence gate would reject everything at ~90% seg recall
@@ -202,6 +206,7 @@ def main():
                                 for k, v in res["calibration"].items()}
                                if res["calibration"] else None),
                "config": {"samples": args.samples, "epochs": args.epochs,
+                          "conv_impl": args.conv_impl,
                           "ee_mult": args.ee_mult,
                           "pose_epochs": args.pose_epochs or args.epochs,
                           "pose_batch": args.pose_batch or args.batch,
