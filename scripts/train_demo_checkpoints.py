@@ -50,6 +50,9 @@ def main():
                     help="data-parallel mesh size for training (any "
                          "device kind; CPU needs "
                          "xla_force_host_platform_device_count)")
+    ap.add_argument("--pose-lr", type=float, default=1e-3,
+                    help="rotation/keypoint lr (large --pose-batch runs "
+                         "need it lowered)")
     ap.add_argument("--conv-impl", default="auto",
                     help="engine conv impl for the held-out benchmark "
                          "(auto|pallas|pallas-int8|xla) — int8 vs bf16 "
@@ -116,10 +119,10 @@ def main():
         backbone=args.backbone, in_channels=3,
         out_channels=rot_pose_w + (3 if args.confidence else 0),
         rot_dims=6 if args.rot_6d else 4)
-    rtc = (tc if args.pose_batch is None else
-           TrainConfig(lr=1e-3, batch_size=args.pose_batch,
-                       epochs=args.epochs,
-                       save_freq=max(args.epochs // 2, 1)))
+    rtc = TrainConfig(lr=args.pose_lr,
+                      batch_size=args.pose_batch or args.batch,
+                      epochs=args.epochs,
+                      save_freq=max(args.epochs // 2, 1))
     rstep, ropt = make_pose_train_step(
         rot_model, rot_cfg,
         LossConfig(loss_type=(LossType.COS2_6D if args.rot_6d
