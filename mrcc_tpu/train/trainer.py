@@ -285,19 +285,23 @@ class Trainer:
                 batch = mesh_lib.pad_batch_to(batch, total)
                 batch = mesh_lib.shard_batch(batch, self.mesh)
             self.state, metrics = self.step_fn(self.state, batch, lr)
-            # keep the loss ON DEVICE: float() here would force a host
+            # keep the metrics ON DEVICE: float() here would force a host
             # round-trip per step (~ms each on the tunneled runtime),
             # serializing the epoch.  One sync at epoch end instead.
-            loss_dev = (metrics["loss"] + loss_dev
-                        if n_batches else metrics["loss"])
+            metrics_dev = ({k: metrics[k] + metrics_dev[k] for k in metrics}
+                           if n_batches else dict(metrics))
             iter_time.update(time.time() - end)
             end = time.time()
             n_batches += 1
+        epoch_metrics = {}
         if n_batches:
-            loss_meter.update(float(loss_dev) / n_batches)
-        for k in ("loss",):
-            self.writer.add_scalar(f"{k}_train", loss_meter.avg, epoch)
-        return {"loss": loss_meter.avg, "iter_time": iter_time.avg,
+            epoch_metrics = {k: float(v) / n_batches
+                             for k, v in metrics_dev.items()}
+            loss_meter.update(epoch_metrics["loss"])
+        for k, v in epoch_metrics.items():
+            self.writer.add_scalar(f"{k}_train", v, epoch)
+        return {**epoch_metrics, "loss": loss_meter.avg,
+                "iter_time": iter_time.avg,
                 "data_time": data_time.avg, "lr": lr, "batches": n_batches}
 
     def fit(self, epochs=None, save=True):
