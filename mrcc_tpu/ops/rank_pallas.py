@@ -59,10 +59,38 @@ def pack_deltas(offsets) -> np.ndarray:
             + offsets[:, 2]).astype(np.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("deltas", "t", "w", "kp"))
-def _rank_call(keys, qbase, qvalid_t, starts, nchunks, deltas, t, w, kp):
+def _delta_runs(deltas) -> tuple:
+    """Group offset deltas into runs of CONSECUTIVE integers (<=3 long).
+
+    K3_OFFSETS is z-fastest, so its 27 deltas form nine (d-1, d, d+1)
+    z-triples; strided k=2 tables form four (d, d+1) pairs.  Within a run
+    only the FIRST member needs the windowed lt-count: keys are unique, so
+      rank(q+1) = #{keys < q+1} = #{keys <= q} = rank(q) + hit(q)
+    and every later member's rank follows from the base rank plus the
+    accumulated hit bits.  Returns a tuple of runs, each a tuple of
+    ORIGINAL k-indices whose deltas ascend consecutively.
+    """
+    deltas = [int(d) for d in deltas]
+    order = sorted(range(len(deltas)), key=lambda i: deltas[i])
+    runs, cur = [], [order[0]] if order else []
+    for i in order[1:]:
+        if len(cur) < 3 and deltas[i] == deltas[cur[-1]] + 1:
+            cur.append(i)
+        else:
+            runs.append(tuple(cur))
+            cur = [i]
+    if cur:
+        runs.append(tuple(cur))
+    return tuple(runs)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("deltas", "runs", "t", "w", "kp"))
+def _rank_call(keys, qbase, qvalid_t, starts, nchunks, deltas, runs, t, w,
+               kp):
     """keys [B, N] sorted; qbase [B, Nq] sorted; qvalid_t [B, nt, KP, T];
-    starts/nchunks [KP*B*nt] i32.  Returns idx_t, hit_t [B, nt, KP, T]."""
+    starts/nchunks [R*B*nt] i32 (per consecutive-delta run).
+    Returns idx_t, hit_t [B, nt, KP, T]."""
     b, n = keys.shape
     nq = qbase.shape[1]
     nt = nq // t
@@ -80,42 +108,50 @@ def _rank_call(keys, qbase, qvalid_t, starts, nchunks, deltas, t, w, kp):
         iota_w = jax.lax.broadcasted_iota(jnp.int32, (t, w), 1)
         qtile = qbase_ref[0, 0, pl.ds(pl.multiple_of(ti * t, 128), t)]
 
-        for k in range(kp):
-            if k < k_real:
-                delta = int(deltas_np[k])
-                q = qtile + delta
-                flat = (k * pl.num_programs(0) + bi) * nt + ti
-                st = starts_ref[flat]
-                nch = nchunks_ref[flat]
+        for r, run in enumerate(runs):
+            length = len(run)
+            q = qtile + int(deltas_np[run[0]])
+            flat = (r * pl.num_programs(0) + bi) * nt + ti
+            st = starts_ref[flat]
+            nch = nchunks_ref[flat]
 
-                def chunk(ci, carry):
-                    # single int32 carry (Mosaic cannot legalize tuple
-                    # loop carries): carry = rank << 1 | eq
-                    rank = carry >> 1
-                    eq = carry & 1
-                    # lane-dim slices must be 128-aligned (st, w, n are)
-                    wst = pl.multiple_of(
-                        jnp.minimum(st + ci * w, n - w), 128)
-                    window = keys_ref[0, 0, pl.ds(wst, w)]     # [W]
-                    pos = wst + iota_w[0]                       # [W]
-                    seg = ((pos >= st + ci * w)
-                           & (pos < st + (ci + 1) * w))[None, :]
-                    cmp_lt = (window[None, :] < q[:, None]) & seg
-                    cmp_eq = (window[None, :] == q[:, None]) & seg
-                    rank = rank + cmp_lt.astype(jnp.int32).sum(axis=1)
-                    eq = eq | cmp_eq.astype(jnp.int32).max(axis=1)
-                    return (rank << 1) | eq
+            def chunk(ci, carry, q=q, length=length):
+                # single int32 carry (Mosaic cannot legalize tuple loop
+                # carries): carry = rank << length | eq bits
+                rank = carry >> length
+                # lane-dim slices must be 128-aligned (st, w, n are)
+                wst = pl.multiple_of(
+                    jnp.minimum(st + ci * w, n - w), 128)
+                window = keys_ref[0, 0, pl.ds(wst, w)]     # [W]
+                pos = wst + iota_w[0]                       # [W]
+                seg = ((pos >= st + ci * w)
+                       & (pos < st + (ci + 1) * w))[None, :]
+                # the lt-count needs the disjoint chunk partition (sums);
+                # the eq compares are OR-accumulated over UNIQUE keys, so
+                # revisiting positions (clamped windows overlap) is safe
+                # and no seg mask is needed.
+                cmp_lt = (window[None, :] < q[:, None]) & seg
+                rank = rank + cmp_lt.astype(jnp.int32).sum(axis=1)
+                eqs = carry
+                for m in range(length):
+                    cmp_eq = window[None, :] == (q + m)[:, None]
+                    eqs = eqs | (cmp_eq.astype(jnp.int32).max(axis=1) << m)
+                return (rank << length) | (eqs & ((1 << length) - 1))
 
-                carry = jax.lax.fori_loop(0, nch, chunk,
-                                          jnp.zeros((t,), jnp.int32))
-                rank = carry >> 1
-                eq = carry & 1
+            carry = jax.lax.fori_loop(0, nch, chunk,
+                                      jnp.zeros((t,), jnp.int32))
+            rank = carry >> length
+            for m, k in enumerate(run):
+                eq = (carry >> m) & 1
                 valid = qvalid_ref[0, 0, k, :] != 0
                 idx_ref[0, 0, k, :] = jnp.minimum(st + rank, n - 1)
                 hit_ref[0, 0, k, :] = jnp.where(valid, eq, 0)
-            else:
-                idx_ref[0, 0, k, :] = jnp.zeros((t,), jnp.int32)
-                hit_ref[0, 0, k, :] = jnp.zeros((t,), jnp.int32)
+                # rank(q + m + 1) = rank(q + m) + hit(q + m)
+                rank = rank + eq
+
+        for k in range(k_real, kp):
+            idx_ref[0, 0, k, :] = jnp.zeros((t,), jnp.int32)
+            hit_ref[0, 0, k, :] = jnp.zeros((t,), jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -194,22 +230,33 @@ def rank_lookup(keys, qbase, deltas, qvalid, t=None, w=None,
 
     ends = jnp.concatenate([ranks[:, :, 1:],
                             jnp.full((k, b, 1), n, jnp.int32)], axis=-1)
+
+    # one window-scan per consecutive-delta RUN (z-triples/pairs): the
+    # run's chunk span is [first member's start, last member's end] —
+    # monotone deltas give monotone boundary ranks, and nchunks' +1 chunk
+    # guarantees coverage past end_last, where every member's hit
+    # position lives (rank(q+m) <= end_last).
+    runs = _delta_runs(deltas)
+    first = jnp.asarray([r[0] for r in runs], jnp.int32)
+    last = jnp.asarray([r[-1] for r in runs], jnp.int32)
+    ranks_run = jnp.take(ranks, first, axis=0)               # [R, B, nt]
+    ends_run = jnp.take(ends, last, axis=0)
     # 128-aligned starts: Mosaic lane-dimension slices require it (the
     # rank kernel reads int32 keys along the LANE axis)
-    starts = jnp.clip(ranks - (ranks % 128), 0, max(n - w, 0))
-    span = jnp.maximum(ends - starts, 0)
-    nchunks = jnp.minimum(span // w + 1, -(-n // w))
+    starts_run = jnp.clip(ranks_run - (ranks_run % 128), 0, max(n - w, 0))
+    span = jnp.maximum(ends_run - starts_run, 0)
+    nchunks_run = jnp.minimum(span // w + 1, -(-n // w))
 
     def pad_k(a):
         return jnp.pad(a, ((0, kp - k),) + ((0, 0),) * (a.ndim - 1))
 
     qvalid_t = pad_k(qvalid.astype(jnp.int32)).reshape(
         kp, b, nt, t).transpose(1, 2, 0, 3)
-    starts_f = pad_k(starts).reshape(-1)
-    nchunks_f = jnp.maximum(pad_k(nchunks), 1).reshape(-1)
+    starts_f = starts_run.reshape(-1)
+    nchunks_f = jnp.maximum(nchunks_run, 1).reshape(-1)
 
     idx_t, hit_t = _rank_call(keys, qbase, qvalid_t, starts_f, nchunks_f,
-                              deltas, t, w, kp)
+                              deltas, runs, t, w, kp)
     idx = idx_t.transpose(2, 0, 1, 3).reshape(kp, b, nq)[:k]
     hit = hit_t.transpose(2, 0, 1, 3).reshape(kp, b, nq)[:k] != 0
     if return_tiled:
