@@ -172,6 +172,10 @@ def main():
         conv_impl=os.environ.get("BENCH_IMPL", "auto"),
     )
     engine = InferenceEngine(cfg, seed=0)
+    if engine._conv_impl == "pallas-int8":
+        # static activation scales: the production int8 deployment path
+        # (skips the per-conv dynamic absmax reduction)
+        engine.calibrate_q8(pts, rgb, mask)
 
     # compile + warmup; completion is forced with a real host transfer —
     # block_until_ready alone does NOT wait on some remote backends

@@ -291,6 +291,41 @@ class InferenceEngine:
                 params[stage], variables)
         return params
 
+    def calibrate_q8(self, points, rgb, mask):
+        """Record static int8 activation scales from a representative batch.
+
+        The quantized conv path (``conv_impl="pallas-int8"``) needs a
+        per-channel activation absmax for every sparse conv; without
+        calibration it re-reduces the whole feature tensor per conv per
+        call.  One pass here stores the scales in each stage's
+        ``q8_stats`` collection (sparse/nn.py ``_q8_calibration``) — later
+        applies pick them up automatically (flax retraces on the new
+        params structure).  Call with inputs shaped like production
+        traffic; re-call to widen the running absmax with more batches.
+        """
+        from functools import partial as _partial
+
+        p = self.params
+        seg_fn = jax.jit(_partial(self._with_impl(self._seg_stage),
+                                  mutable_q8=True))
+        *seg_outs, q8 = seg_fn(p["segmentation"], points, rgb, mask)
+        if q8["q8_stats"]:
+            p["segmentation"] = {**p["segmentation"], **q8}
+        _, _, ee_pts, ee_rgb, ee_valid, _ = seg_outs
+
+        pose_fn = jax.jit(_partial(self._with_impl(self._pose_stage),
+                                   mutable_q8=True))
+        *_, q8 = pose_fn(p["rotation"], ee_pts, ee_rgb, ee_valid)
+        if q8["q8_stats"]:
+            p["rotation"] = {**p["rotation"], **q8}
+
+        kp_fn = jax.jit(_partial(self._with_impl(self._kp_stage),
+                                 mutable_q8=True))
+        *_, q8 = kp_fn(p["key_points"], ee_pts, ee_rgb, ee_valid)
+        if q8["q8_stats"]:
+            p["key_points"] = {**p["key_points"], **q8}
+        return self.params
+
     # ------------------------------------------------------------ the jit
 
     def _hierarchy_caps(self, cap, override=None):
@@ -299,10 +334,12 @@ class InferenceEngine:
             return tuple(override)
         return (cap, max(cap // 2, 64), max(cap // 4, 64), max(cap // 8, 64))
 
-    def _seg_stage(self, params, points, rgb, mask):
+    def _seg_stage(self, params, points, rgb, mask, mutable_q8=False):
         """Segmentation + cluster filter + fixed-capacity EE crop.
 
-        Parity: predict_segmentation (:395-435) + the EE gather."""
+        Parity: predict_segmentation (:395-435) + the EE gather.
+        ``mutable_q8``: calibration mode — record int8 activation scales
+        (appends the updated q8_stats collection to the return)."""
         cfg = self.cfg
         rgb = normalize_colors(rgb, mask=mask)
         if cfg.seg_center_at_origin:
@@ -315,7 +352,11 @@ class InferenceEngine:
             svox, 4, capacities=self._hierarchy_caps(cfg.seg_voxel_capacity,
                                                      cfg.seg_hierarchy_caps))
         sfeats = svox.feats.astype(jnp.dtype(cfg.compute_dtype))
-        slogits = self._seg_model.apply(params, sfeats, slevels)
+        if mutable_q8:
+            slogits, q8_upd = self._seg_model.apply(
+                params, sfeats, slevels, mutable=["q8_stats"])
+        else:
+            slogits = self._seg_model.apply(params, sfeats, slevels)
         slogits = slogits.astype(jnp.float32)
         pt_logits = slice_to_points(slogits, spv, fill_value=-1e9)
         seg = jnp.argmax(pt_logits, axis=-1).astype(jnp.int32)
@@ -342,9 +383,11 @@ class InferenceEngine:
         # capacity saturation flag: a full voxel buffer means voxels were
         # silently dropped — callers should treat results as degraded
         overflow = svox.count >= cfg.seg_voxel_capacity
-        return seg, ee_count, ee_pts, ee_rgb, ee_valid, overflow
+        out = (seg, ee_count, ee_pts, ee_rgb, ee_valid, overflow)
+        return out + (q8_upd,) if mutable_q8 else out
 
-    def _pose_stage(self, params, ee_pts, ee_rgb, ee_valid):
+    def _pose_stage(self, params, ee_pts, ee_rgb, ee_valid,
+                    mutable_q8=False):
         """Rotation net + magic translation (predict_rotation :437 +
         predict_translation :459)."""
         cfg = self.cfg
@@ -358,8 +401,13 @@ class InferenceEngine:
             rvox, 4, capacities=self._hierarchy_caps(cfg.ee_voxel_capacity,
                                                      cfg.ee_hierarchy_caps))
         rfeats = rvox.feats.astype(jnp.dtype(cfg.compute_dtype))
-        rot_out = self._rot_model.apply(params, rfeats, rlevels,
-                                        train=False).astype(jnp.float32)
+        if mutable_q8:
+            rot_out, q8_upd = self._rot_model.apply(
+                params, rfeats, rlevels, train=False, mutable=["q8_stats"])
+            rot_out = rot_out.astype(jnp.float32)
+        else:
+            rot_out = self._rot_model.apply(params, rfeats, rlevels,
+                                            train=False).astype(jnp.float32)
         if cfg.rot_6d:
             from ..geometry.transform import rot6d_to_quat
 
@@ -374,7 +422,8 @@ class InferenceEngine:
             conf = rot_out[:, conf_off:conf_off + 3]
         else:
             conf = jnp.ones((rot_out.shape[0], 3), jnp.float32)
-        return jnp.concatenate([pos, q], axis=-1), conf
+        out = (jnp.concatenate([pos, q], axis=-1), conf)
+        return out + (q8_upd,) if mutable_q8 else out
 
     def _kp_stage_dense(self, params, ee_pts, ee_rgb, ee_valid):
         """Dense keypoint path (predict_key_points :512-537, pointnet2):
@@ -427,10 +476,13 @@ class InferenceEngine:
         kp_pose, kp_ok = jax.vmap(pose_from_key_points)(kp_coords, kp_found)
         return kp_pose, kp_ok, kp_coords, kp_found, kp_conf
 
-    def _kp_stage(self, params, ee_pts, ee_rgb, ee_valid):
+    def _kp_stage(self, params, ee_pts, ee_rgb, ee_valid,
+                  mutable_q8=False):
         """Keypoint net + Kabsch solve (predict_key_points :491, sparse)."""
         if self._kp_dense:
-            return self._kp_stage_dense(params, ee_pts, ee_rgb, ee_valid)
+            out = self._kp_stage_dense(params, ee_pts, ee_rgb, ee_valid)
+            # dense PointNet2 has no sparse convs: nothing to calibrate
+            return out + ({"q8_stats": {}},) if mutable_q8 else out
         cfg = self.cfg
         if cfg.kp_center_at_origin:
             kp_pts, _ = center_at_origin(ee_pts, mask=ee_valid)
@@ -442,7 +494,11 @@ class InferenceEngine:
             kvox, 4, capacities=self._hierarchy_caps(cfg.kp_voxel_capacity,
                                                      cfg.kp_hierarchy_caps))
         kfeats = kvox.feats.astype(jnp.dtype(cfg.compute_dtype))
-        klogits = self._kp_model.apply(params, kfeats, klevels)
+        if mutable_q8:
+            klogits, q8_upd = self._kp_model.apply(
+                params, kfeats, klevels, mutable=["q8_stats"])
+        else:
+            klogits = self._kp_model.apply(params, kfeats, klevels)
         klogits = klogits.astype(jnp.float32)
         kp_pt_logits = slice_to_points(klogits, kpv, fill_value=-1e9)
         kp_idx, kp_found, kp_conf = jax.vmap(
@@ -451,7 +507,8 @@ class InferenceEngine:
         )(kp_pt_logits, ee_valid)
         kp_coords = jnp.take_along_axis(ee_pts, kp_idx[..., None], axis=1)
         kp_pose, kp_ok = jax.vmap(pose_from_key_points)(kp_coords, kp_found)
-        return kp_pose, kp_ok, kp_coords, kp_found, kp_conf
+        out = (kp_pose, kp_ok, kp_coords, kp_found, kp_conf)
+        return out + (q8_upd,) if mutable_q8 else out
 
     def _icp_stage(self, template, ee_pts, ee_valid, ee_pose, kp_pose):
         """Both ICP refinements (:358-361)."""

@@ -109,10 +109,11 @@ def packed_window(t: int, pack: int, n_p: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("t", "w", "kg", "n_out", "cout", "out_dtype",
-                     "pack", "w_raw", "identity_k", "bcast_k"))
+                     "pack", "w_raw", "identity_k", "bcast_k", "n_cg"))
 def _gather_gemm_call(idx_t, starts, nchunks, feats, w_grp,
                       t, w, kg, n_out, cout, out_dtype,
-                      pack=1, w_raw=None, identity_k=None, bcast_k=False):
+                      pack=1, w_raw=None, identity_k=None, bcast_k=False,
+                      n_cg=1):
     """The pallas_call wrapper (all shapes static).
 
     idx_t: [B, nt, KP, T] int32, misses = _MISS (KP >= n_groups*kg,
@@ -122,12 +123,17 @@ def _gather_gemm_call(idx_t, starts, nchunks, feats, w_grp,
       tile's hit-index span).  Always in RAW rows / RAW window units
       (``w_raw``) — the packed equivalents are derived in-kernel, so tiled
       maps cache once per level regardless of each conv's pack factor.
-    feats: [B, N, C] (bf16/f32).  When pack > 1 the table is LANE-PACKED:
-      row q holds raw rows q*pack..q*pack+pack-1 at lane groups of
-      C/pack channels each, and the one-hot gathers whole packed rows,
-      masked down to the per-output-row sub-row group afterwards (the
-      weights are group-tiled by the caller so no lane shuffle is needed).
-    w_grp: [n_groups, kg*C, Cout] (feats dtype).
+    feats: [B, N, n_cg * Cblk] (bf16/f32), CHANNEL-GROUP-MAJOR: group cg's
+      table is feats[..., cg*Cblk:(cg+1)*Cblk].  Channel groups are a GRID
+      dimension (innermost): every group's contribution accumulates in a
+      VMEM f32 scratch and the output block is written ONCE — no per-group
+      HBM output round-trips, map blocks fetched once per tile.  When
+      pack > 1 each group's Cblk = pack*c_g lanes are LANE-PACKED: packed
+      row q holds raw rows q*pack..q*pack+pack-1 at lane groups of c_g
+      channels each, and the one-hot gathers whole packed rows, masked
+      down to the per-output-row sub-row group afterwards (the weights
+      are group-tiled by the caller so no lane shuffle is needed).
+    w_grp: [n_kg * n_cg, kg*Cblk, Cout] (feats dtype), kgi-major cg-minor.
     identity_k: static offset index whose map is the identity (k=3 s=1
       delta (0,0,0): rank(key_i + 0) == i, always hit on valid rows) —
       its gather is a direct window slice, no one-hot dot.  Requires
@@ -140,10 +146,13 @@ def _gather_gemm_call(idx_t, starts, nchunks, feats, w_grp,
       copies — kg-1 fewer dots per group.
     Returns [B, n_out, Cout] ``out_dtype``.
     """
-    b, n, c = feats.shape
+    b, n, c_all = feats.shape
+    assert c_all % n_cg == 0
+    c = c_all // n_cg                                  # per-group lanes
     nt = n_out // t
-    n_kg = w_grp.shape[0]
+    n_kg = w_grp.shape[0] // n_cg
     kp = idx_t.shape[2]
+    n_grid = n_kg * n_cg
     assert n_kg * kg <= kp
     if identity_k is not None and pack == 1:
         assert n == n_out, (n, n_out)  # identity rows are the tile's own
@@ -155,10 +164,11 @@ def _gather_gemm_call(idx_t, starts, nchunks, feats, w_grp,
     align = 32 if pack > 1 else 8
 
     def kernel(starts_ref, nchunks_ref, idx_ref, feats_ref, w_ref,
-               out_ref, gall_ref):
+               out_ref, gall_ref, acc_ref):
         bi = pl.program_id(0)
         ti = pl.program_id(1)
-        kgi = pl.program_id(2)
+        gi = pl.program_id(2)
+        kgi = gi // n_cg
         iota_w = jax.lax.broadcasted_iota(jnp.int32, (t, w), 1)
         if pack > 1:
             lane_grp = jax.lax.broadcasted_iota(
@@ -243,31 +253,39 @@ def _gather_gemm_call(idx_t, starts, nchunks, feats, w_grp,
         contrib = jnp.dot(gall_ref[:, :].astype(w_ref.dtype), w_ref[0],
                           preferred_element_type=jnp.float32)
 
-        @pl.when(kgi == 0)
-        def _():
+        if n_grid == 1:
             out_ref[0, :, :] = contrib.astype(out_ref.dtype)
+        else:
+            # accumulate every offset/channel group in f32 VMEM; the
+            # output block is written once, at the last group (no HBM
+            # partial-sum round-trips, exact f32 accumulation)
+            @pl.when(gi == 0)
+            def _():
+                acc_ref[:, :] = contrib
 
-        @pl.when(kgi != 0)
-        def _():
-            # cross-offset-group accumulation requires f32 output blocks
-            # (the caller only requests a narrower out_dtype when n_kg == 1)
-            out_ref[0, :, :] = (out_ref[0, :, :]
-                                + contrib.astype(out_ref.dtype))
+            @pl.when(gi != 0)
+            def _():
+                acc_ref[:, :] = acc_ref[:, :] + contrib
+
+            @pl.when(gi == n_grid - 1)
+            def _():
+                out_ref[0, :, :] = acc_ref[:, :].astype(out_ref.dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(b, nt, n_kg),
+        grid=(b, nt, n_grid),
         in_specs=[
-            pl.BlockSpec((1, 1, kp, t), lambda bi, ti, kgi, s1, s2:
+            pl.BlockSpec((1, 1, kp, t), lambda bi, ti, gi, s1, s2:
                          (bi, ti, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, c), lambda bi, ti, kgi, s1, s2: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kg * c, cout), lambda bi, ti, kgi, s1, s2:
-                         (kgi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, c), lambda bi, ti, gi, s1, s2:
+                         (bi, 0, gi % n_cg), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kg * c, cout), lambda bi, ti, gi, s1, s2:
+                         (gi, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, t, cout), lambda bi, ti, kgi, s1, s2:
+        out_specs=pl.BlockSpec((1, t, cout), lambda bi, ti, gi, s1, s2:
                                (bi, ti, 0), memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((t, kg * c), feats.dtype)],
+        scratch_shapes=[pltpu.VMEM((t, kg * c), feats.dtype),
+                        pltpu.VMEM((t, cout), jnp.float32)],
     )
     return pl.pallas_call(
         kernel,
@@ -432,33 +450,30 @@ def gather_gemm_conv_tiled(feats, weights, tiled, out_valid, bias=None,
                      ((0, n_kg * kg - k), (0, 0), (0, 0)))
     b = feats.shape[0]
     w_call = packed_window(t, pack, n // pack) if pack > 1 else w_width
-    # write the kernel output in the compute dtype when no cross-offset-
-    # group accumulation happens in out_ref (n_kg == 1, the universal case
-    # by plan): halves the conv's output HBM traffic and deletes the
-    # f32 -> bf16 cast pass.  Channel-group partials then also add in the
-    # compute dtype (each partial is a correctly-rounded cast of an f32
-    # MXU accumulation; the extra rounding is within bf16 compute noise).
-    out_dtype = feats.dtype if n_kg == 1 else jnp.float32
-    out = None
-    for cg in range(n_cg):
-        f_sl = feats[:, :, cg * c_g:(cg + 1) * c_g]
-        w_sl = w_full[:, cg * c_g:(cg + 1) * c_g, :]
-        if pack > 1:
-            # lane-pack the table; tile the weights over the lane groups so
-            # masked packed gathers feed the GEMM without a lane shuffle
-            f_sl = f_sl.reshape(b, n // pack, pack * c_g)
-            w_sl = jnp.tile(w_sl, (1, pack, 1))
-        w_sl = w_sl.reshape(n_kg, kg * pack * c_g, cout)
-        contrib = _gather_gemm_call(idx_t, starts_f, nchunks_f, f_sl,
-                                    w_sl, t=t, w=w_call, kg=kg, n_out=n_out,
-                                    cout=cout, out_dtype=out_dtype,
-                                    pack=pack, w_raw=w_width,
-                                    identity_k=(identity_k
-                                                if pack == 1 and n_kg == 1
-                                                else None),
-                                    bcast_k=bcast_k and n_kg == 1)
-        out = contrib if out is None else out + contrib
-    out = out.astype(feats.dtype)
+    # channel groups are a kernel grid dimension (VMEM-accumulated inside
+    # ONE pallas_call): lay the table out channel-group-major and stack
+    # the per-(kg, cg) weight blocks kgi-major (matching the grid order)
+    if pack > 1:
+        # lane-pack each group's table; tile the weights over the lane
+        # groups so masked packed gathers feed the GEMM without a shuffle
+        f_all = feats.reshape(b, n // pack, pack, n_cg, c_g).transpose(
+            0, 1, 3, 2, 4).reshape(b, n // pack, n_cg * pack * c_g)
+        w_cg = [jnp.tile(w_full[:, cg * c_g:(cg + 1) * c_g, :],
+                         (1, pack, 1)).reshape(n_kg, kg * pack * c_g, cout)
+                for cg in range(n_cg)]
+    else:
+        f_all = feats
+        w_cg = [w_full[:, cg * c_g:(cg + 1) * c_g, :].reshape(
+            n_kg, kg * c_g, cout) for cg in range(n_cg)]
+    w_all = jnp.stack(w_cg, axis=1).reshape(n_kg * n_cg, -1, cout)
+    out = _gather_gemm_call(idx_t, starts_f, nchunks_f, f_all,
+                            w_all, t=t, w=w_call, kg=kg, n_out=n_out,
+                            cout=cout, out_dtype=feats.dtype,
+                            pack=pack, w_raw=w_width,
+                            identity_k=(identity_k
+                                        if pack == 1 and n_kg == 1
+                                        else None),
+                            bcast_k=bcast_k and n_kg == 1, n_cg=n_cg)
     if bias is not None:
         out = out + bias.astype(feats.dtype)
     return jnp.where(out_valid[..., None], out, 0)
@@ -501,19 +516,25 @@ def _padded_lanes(c: int) -> int:
 @functools.partial(
     jax.jit, static_argnames=("t", "w", "kg", "n_out", "cout",
                               "pack", "w_raw", "out_dtype", "identity_k",
-                              "bcast_k"))
+                              "bcast_k", "n_cg"))
 def _gather_gemm_call_q8(idx_t, starts, nchunks, feats_q, w_q, vco,
                          t, w, kg, n_out, cout, pack=1, w_raw=None,
                          out_dtype=jnp.float32, identity_k=None,
-                         bcast_k=False):
+                         bcast_k=False, n_cg=1):
     """int8 variant of :func:`_gather_gemm_call` (n_kg == 1 by plan).
 
-    feats_q: [B, N, C] int8 (lane-packed like the bf16 kernel when
-    pack > 1); w_q: [1, kg*C, Cout] int8;
-    vco: [1, Cout] f32 per-output-column dequant scale.
-    Returns [B, n_out, Cout] float32.
+    feats_q: [B, N, n_cg * Cblk] int8, channel-group-major (lane-packed
+    within each group like the bf16 kernel when pack > 1); w_q:
+    [n_cg, kg*Cblk, Cout] int8; vco: [n_cg, Cout] f32 per-output-column
+    dequant scale (per channel group — weight quantization is per group).
+    Channel groups are a grid dimension: each group's int32 GEMM result is
+    dequantized with ITS scale and accumulated in f32 VMEM; the output
+    block is written once.
+    Returns [B, n_out, Cout] ``out_dtype``.
     """
-    b, n, c = feats_q.shape
+    b, n, c_all = feats_q.shape
+    assert c_all % n_cg == 0
+    c = c_all // n_cg
     nt = n_out // t
     kp = idx_t.shape[2]
     assert n % 32 == 0 and w % 32 == 0, (n, w)
@@ -523,9 +544,10 @@ def _gather_gemm_call_q8(idx_t, starts, nchunks, feats_q, w_q, vco,
     c_sub = c // pack
 
     def kernel(starts_ref, nchunks_ref, idx_ref, feats_ref, w_ref, vco_ref,
-               out_ref, gall_ref):
+               out_ref, gall_ref, acc_ref):
         bi = pl.program_id(0)
         ti = pl.program_id(1)
+        cgi = pl.program_id(2)
         iota_w = jax.lax.broadcasted_iota(jnp.int32, (t, w), 1)
         if pack > 1:
             lane_grp = jax.lax.broadcasted_iota(
@@ -588,27 +610,42 @@ def _gather_gemm_call_q8(idx_t, starts, nchunks, feats_q, w_q, vco,
                 # one-hot rows copy table entries verbatim: stays int8
                 gall_ref[:, j * c:(j + 1) * c] = g.astype(jnp.int8)
 
-        acc = jnp.dot(gall_ref[:, :], w_ref[0],
-                      preferred_element_type=jnp.int32)
-        out_ref[0, :, :] = (acc.astype(jnp.float32)
-                            * vco_ref[0, :][None, :]).astype(out_ref.dtype)
+        gemm = jnp.dot(gall_ref[:, :], w_ref[0],
+                       preferred_element_type=jnp.int32)
+        contrib = gemm.astype(jnp.float32) * vco_ref[0, :][None, :]
+
+        if n_cg == 1:
+            out_ref[0, :, :] = contrib.astype(out_ref.dtype)
+        else:
+            @pl.when(cgi == 0)
+            def _():
+                acc_ref[:, :] = contrib
+
+            @pl.when(cgi != 0)
+            def _():
+                acc_ref[:, :] = acc_ref[:, :] + contrib
+
+            @pl.when(cgi == n_cg - 1)
+            def _():
+                out_ref[0, :, :] = acc_ref[:, :].astype(out_ref.dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(b, nt),
+        grid=(b, nt, n_cg),
         in_specs=[
-            pl.BlockSpec((1, 1, kp, t), lambda bi, ti, s1, s2:
+            pl.BlockSpec((1, 1, kp, t), lambda bi, ti, cgi, s1, s2:
                          (bi, ti, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, c), lambda bi, ti, s1, s2: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kg * c, cout), lambda bi, ti, s1, s2:
-                         (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cout), lambda bi, ti, s1, s2: (0, 0),
+            pl.BlockSpec((1, n, c), lambda bi, ti, cgi, s1, s2:
+                         (bi, 0, cgi), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kg * c, cout), lambda bi, ti, cgi, s1, s2:
+                         (cgi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda bi, ti, cgi, s1, s2: (cgi, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, t, cout), lambda bi, ti, s1, s2:
+        out_specs=pl.BlockSpec((1, t, cout), lambda bi, ti, cgi, s1, s2:
                                (bi, ti, 0), memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((t, kg * c), jnp.int8)],
+        scratch_shapes=[pltpu.VMEM((t, kg * c), jnp.int8),
+                        pltpu.VMEM((t, cout), jnp.float32)],
     )
     return pl.pallas_call(
         kernel,
@@ -620,12 +657,17 @@ def _gather_gemm_call_q8(idx_t, starts, nchunks, feats_q, w_q, vco,
 
 def gather_gemm_conv_tiled_q8(feats, weights, tiled, out_valid, bias=None,
                               k=None, w_width=None, identity_k=None,
-                              bcast_k=False):
+                              bcast_k=False, act_absmax=None):
     """Quantized conv on a precomputed tiled map (inference only).
 
     feats: [B, N, C] float (bf16/f32); weights [K, Cin, Cout] f32.
     Per-channel activation scales fold into the weights; per-output-column
-    weight quantization; the kernel runs fully int8."""
+    weight quantization; the kernel runs fully int8.
+
+    act_absmax: optional [C] f32 CALIBRATED per-channel activation absmax
+    (see SparseConvK3's ``q8_stats`` collection) — skips the dynamic
+    full-tensor abs-max reduction (one extra HBM pass per conv otherwise)
+    at the cost of clipping rare out-of-calibration activations."""
     idx_t, starts_f, nchunks_f = tiled
     b, n, c = feats.shape
     t = idx_t.shape[3]
@@ -637,7 +679,9 @@ def gather_gemm_conv_tiled_q8(feats, weights, tiled, out_valid, bias=None,
     assert n % 32 == 0, n
 
     f32 = feats.astype(jnp.float32)
-    s_c = jnp.maximum(jnp.abs(f32).max(axis=(0, 1)), 1e-8) / 127.0  # [C]
+    if act_absmax is None:
+        act_absmax = jnp.abs(f32).max(axis=(0, 1))
+    s_c = jnp.maximum(act_absmax.astype(jnp.float32), 1e-8) / 127.0  # [C]
     q_f = jnp.clip(jnp.round(f32 / s_c), -127, 127).astype(jnp.int8)
 
     # int8 halves the table bytes -> the split plan doubles c_g
@@ -649,25 +693,31 @@ def gather_gemm_conv_tiled_q8(feats, weights, tiled, out_valid, bias=None,
     w_fold = jnp.pad(w_fold, ((0, n_kg * kg - k), (0, c_pad - c), (0, 0)))
 
     w_call = packed_window(t, pack, n // pack) if pack > 1 else w_width
-    out = None
+    # channel groups ride the kernel grid (f32 VMEM accumulation); weight
+    # quantization stays PER GROUP (each group's dequant column scale is a
+    # kernel operand indexed by the group grid step)
+    w_qs, m_cos = [], []
     for cg in range(n_cg):
-        f_sl = q_f[:, :, cg * c_g:(cg + 1) * c_g]
         w_sl = w_fold[:, cg * c_g:(cg + 1) * c_g, :]
         m_co = jnp.maximum(jnp.abs(w_sl).max(axis=(0, 1)), 1e-12) / 127.0
         w_q = jnp.clip(jnp.round(w_sl / m_co), -127, 127).astype(jnp.int8)
         if pack > 1:
-            f_sl = f_sl.reshape(b, n // pack, pack * c_g)
             w_q = jnp.tile(w_q, (1, pack, 1))
-        w_q = w_q.reshape(1, kg * pack * c_g, cout)
-        contrib = _gather_gemm_call_q8(
-            idx_t, starts_f, nchunks_f, f_sl, w_q, m_co[None, :],
-            t=t, w=w_call, kg=kg, n_out=n_out, cout=cout,
-            pack=pack, w_raw=w_width, out_dtype=feats.dtype,
-            identity_k=(identity_k if pack == 1
-                        and feats.shape[1] == n_out else None),
-            bcast_k=bcast_k)
-        out = contrib if out is None else out + contrib
-    out = out.astype(feats.dtype)
+        w_qs.append(w_q.reshape(kg * pack * c_g, cout))
+        m_cos.append(m_co)
+    if pack > 1:
+        f_all = q_f.reshape(b, n // pack, pack, n_cg, c_g).transpose(
+            0, 1, 3, 2, 4).reshape(b, n // pack, n_cg * pack * c_g)
+    else:
+        f_all = q_f
+    out = _gather_gemm_call_q8(
+        idx_t, starts_f, nchunks_f, f_all, jnp.stack(w_qs),
+        jnp.stack(m_cos),
+        t=t, w=w_call, kg=kg, n_out=n_out, cout=cout,
+        pack=pack, w_raw=w_width, out_dtype=feats.dtype,
+        identity_k=(identity_k if pack == 1
+                    and feats.shape[1] == n_out else None),
+        bcast_k=bcast_k, n_cg=n_cg)
     if bias is not None:
         out = out + bias.astype(feats.dtype)
     return jnp.where(out_valid[..., None], out, 0)

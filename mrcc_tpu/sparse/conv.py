@@ -113,7 +113,7 @@ def _with_bias(out, bias, valid, dtype):
     return jnp.where(valid[..., None], out + bias.astype(dtype), 0)
 
 
-def conv_k3(feats, weights, level, bias=None):
+def conv_k3(feats, weights, level, bias=None, act_absmax=None):
     """k=3 s=1 conv on one level (27-neighbour kernel map).
 
     The Pallas route is differentiable: submanifold adjacency is symmetric,
@@ -127,7 +127,8 @@ def conv_k3(feats, weights, level, bias=None):
             return gather_gemm_conv_tiled_q8(feats, weights,
                                              level.nbr_tiled, level.valid,
                                              bias=bias, k=weights.shape[0],
-                                             identity_k=13)
+                                             identity_k=13,
+                                             act_absmax=act_absmax)
         from ..ops.conv_pallas import pallas_conv_op
 
         out = pallas_conv_op("k3", feats, weights, *level.nbr_tiled,
@@ -140,7 +141,8 @@ def conv_k3(feats, weights, level, bias=None):
                            level.valid, bias=bias)
 
 
-def conv_down(feats, weights, fine_level, coarse_level, bias=None):
+def conv_down(feats, weights, fine_level, coarse_level, bias=None,
+              act_absmax=None):
     """k=2 s=2 conv: fine level -> coarse level (8-child kernel map).
 
     ``fine_level.child_idx`` lives on the coarse level per build_hierarchy.
@@ -154,7 +156,8 @@ def conv_down(feats, weights, fine_level, coarse_level, bias=None):
         return gather_gemm_conv_tiled_q8(feats, weights,
                                          coarse_level.child_tiled,
                                          coarse_level.valid, bias=bias,
-                                         k=weights.shape[0])
+                                         k=weights.shape[0],
+                                         act_absmax=act_absmax)
     if (coarse_level.child_tiled is not None
             and weights.shape[0] == 8
             and fine_level.up_tiled is not None
@@ -181,7 +184,8 @@ def conv_down(feats, weights, fine_level, coarse_level, bias=None):
                            coarse_level.child_hit, coarse_level.valid, bias=bias)
 
 
-def conv_transpose_up(feats, weights, coarse_level, fine_level, bias=None):
+def conv_transpose_up(feats, weights, coarse_level, fine_level,
+                      bias=None, act_absmax=None):
     """k=2 s=2 transpose conv: coarse level -> cached fine level.
 
     Each fine voxel has exactly one parent; its contribution uses the weight
@@ -195,7 +199,8 @@ def conv_transpose_up(feats, weights, coarse_level, fine_level, bias=None):
         return gather_gemm_conv_tiled_q8(feats, weights,
                                          fine_level.up_tiled,
                                          fine_level.valid, bias=bias,
-                                         k=weights.shape[0], bcast_k=True)
+                                         k=weights.shape[0], bcast_k=True,
+                                         act_absmax=act_absmax)
     if (fine_level.up_tiled is not None and weights.shape[0] == 8
             and coarse_level.child_tiled is not None
             and _pallas_route_tiled(feats, fine_level.up_tiled)):

@@ -31,6 +31,34 @@ def _kaiming_kernel_init(key, shape, dtype):
     return jax.random.normal(key, shape, dtype) * std
 
 
+def _q8_calibration(mod: nn.Module, feats):
+    """Static int8 activation scales (``q8_stats`` collection).
+
+    The quantized conv path needs a per-channel activation absmax; computed
+    dynamically it costs a full [B, N, C] HBM pass per conv.  A calibration
+    apply (``mutable=["q8_stats"]``) records the running absmax here; later
+    applies that carry the collection get the CALIBRATED scale for free and
+    skip the dynamic reduction (InferenceEngine.calibrate_q8).
+
+    Never touched during ``init`` (everything is mutable there — recording
+    a zero scale would poison every later apply), and absent collections
+    leave the dynamic path untouched.
+    """
+    if mod.is_initializing():
+        return None
+    c = feats.shape[-1]
+    if mod.is_mutable_collection("q8_stats"):
+        v = mod.variable("q8_stats", "act_absmax",
+                         lambda: jnp.zeros((c,), jnp.float32))
+        cur = jnp.abs(feats.astype(jnp.float32)).max(axis=tuple(
+            range(feats.ndim - 1)))
+        v.value = jnp.maximum(v.value, cur)
+        return None  # calibration pass itself stays exact (dynamic)
+    if mod.has_variable("q8_stats", "act_absmax"):
+        return mod.get_variable("q8_stats", "act_absmax")
+    return None
+
+
 class SparseConvK3(nn.Module):
     """k=3 s=1 sparse conv on one level."""
 
@@ -43,7 +71,8 @@ class SparseConvK3(nn.Module):
                        (27, feats.shape[-1], self.out_channels), jnp.float32)
         b = (self.param("bias", nn.initializers.zeros, (self.out_channels,),
                         jnp.float32) if self.use_bias else None)
-        return C.conv_k3(feats, w, level, bias=b)
+        return C.conv_k3(feats, w, level, bias=b,
+                         act_absmax=_q8_calibration(self, feats))
 
 
 class SparseConv1x1(nn.Module):
@@ -73,7 +102,8 @@ class SparseConvDown(nn.Module):
                        (8, feats.shape[-1], self.out_channels), jnp.float32)
         b = (self.param("bias", nn.initializers.zeros, (self.out_channels,),
                         jnp.float32) if self.use_bias else None)
-        return C.conv_down(feats, w, fine_level, coarse_level, bias=b)
+        return C.conv_down(feats, w, fine_level, coarse_level, bias=b,
+                           act_absmax=_q8_calibration(self, feats))
 
 
 class SparseConvTranspose(nn.Module):
@@ -88,7 +118,9 @@ class SparseConvTranspose(nn.Module):
                        (8, feats.shape[-1], self.out_channels), jnp.float32)
         b = (self.param("bias", nn.initializers.zeros, (self.out_channels,),
                         jnp.float32) if self.use_bias else None)
-        return C.conv_transpose_up(feats, w, coarse_level, fine_level, bias=b)
+        return C.conv_transpose_up(feats, w, coarse_level, fine_level,
+                                   bias=b,
+                                   act_absmax=_q8_calibration(self, feats))
 
 
 class SparseBatchNorm(nn.Module):

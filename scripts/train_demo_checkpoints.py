@@ -187,6 +187,12 @@ def main():
     }
     engine = InferenceEngine(icfg, params=params)
     source = SyntheticDataEngine(seed=5000, n_ee=2048, n_arm=3000, n_bg=7000)
+    if engine._conv_impl == "pallas-int8":
+        # static activation scales, calibrated on one representative scene
+        # (the accuracy benchmark then measures the production int8 path)
+        cal = source.get()
+        cp, cr, cm, _, _ = engine._pad(cal.points, cal.rgb)
+        engine.calibrate_q8(cp, cr, cm)
     app = BenchmarkApp(engine, source, gt_base2cam_pose(),
                        n_samples=args.bench_samples, ignore_unconfident=False)
     res = app.run(out_path=f"{args.out}/trained_benchmark.xlsx")

@@ -109,3 +109,55 @@ def test_q8_channel_split_shapes(rng):
     want = np.asarray(conv_kernel_map(feats, w, jnp.asarray(idx),
                                       jnp.asarray(hit), valid))
     assert _rel_err(got, want) < 2e-2
+
+
+def test_q8_static_calibrated_scales(levels_pair, rng):
+    """Calibrated act_absmax == dynamic absmax => bit-identical conv; a
+    calibration apply records the collection and later applies use it
+    (sparse/nn.py _q8_calibration)."""
+    from mrcc_tpu.sparse.nn import SparseConvK3
+
+    lv_x, lv_q = levels_pair
+    n = lv_x[0].key.shape[1]
+    cin, cout = 32, 48
+    feats = jnp.asarray(rng.normal(size=(B, n, cin)), jnp.float32)
+    feats = jnp.where(lv_q[0].valid[..., None], feats, 0)
+    w = jnp.asarray(rng.normal(size=(27, cin, cout)) / 7, jnp.float32)
+
+    # function-level: static scale equal to the true absmax is identical
+    with sparse_impl("pallas-int8"):
+        dyn = np.asarray(C.conv_k3(feats, w, lv_q[0]))
+        amax = jnp.abs(feats).max(axis=(0, 1))
+        stat = np.asarray(C.conv_k3(feats, w, lv_q[0], act_absmax=amax))
+    np.testing.assert_array_equal(dyn, stat)
+
+    # module-level: init has no q8_stats; calibration apply records it;
+    # a later apply carrying the collection matches the dynamic path
+    mod = SparseConvK3(cout)
+    with sparse_impl("pallas-int8"):
+        vars0 = mod.init(jax.random.PRNGKey(0), feats, lv_q[0])
+        assert "q8_stats" not in vars0
+        out_dyn, upd = mod.apply(vars0, feats, lv_q[0],
+                                 mutable=["q8_stats"])
+        stored = upd["q8_stats"]["act_absmax"]
+        np.testing.assert_allclose(np.asarray(stored),
+                                   np.abs(np.asarray(feats)).max((0, 1)))
+        out_stat = mod.apply({**vars0, **upd}, feats, lv_q[0])
+    np.testing.assert_array_equal(np.asarray(out_dyn), np.asarray(out_stat))
+
+    # engine-level: calibrate_q8 threads the collection through all stages
+    from mrcc_tpu.app.inference_engine import InferenceConfig, InferenceEngine
+
+    cfg = InferenceConfig(conv_impl="pallas-int8", icp_enabled=False,
+                          seg_voxel_capacity=256, ee_voxel_capacity=128,
+                          kp_voxel_capacity=128, ee_point_capacity=256,
+                          seg_hierarchy_caps=(128, 64, 64, 64),
+                          ee_hierarchy_caps=(64, 64, 64, 64),
+                          kp_hierarchy_caps=(64, 64, 64, 64))
+    eng = InferenceEngine(cfg)
+    pts = jnp.asarray(rng.normal(size=(1, 256, 3)).astype(np.float32) * 0.4)
+    rgbp = jnp.asarray(rng.random((1, 256, 3)).astype(np.float32))
+    m = jnp.ones((1, 256), bool)
+    eng.calibrate_q8(pts, rgbp, m)
+    assert "q8_stats" in eng.params["segmentation"]
+    assert "q8_stats" in eng.params["rotation"]
