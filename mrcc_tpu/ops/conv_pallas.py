@@ -230,9 +230,11 @@ def _gather_gemm_call(idx_t, starts, nchunks, feats, w_grp,
                 idx_u = jnp.maximum(idx_u, idx_ref[0, 0, j, :])
             g_u = gather_union(idx_u, 0)
             for j in range(kg):
-                hit_j = idx_ref[0, 0, j, :] >= 0
+                # minor-dim insertion is 32-bit-only on Mosaic: reshape
+                # the int32 indices, compare in 2D (not bool[:, None])
+                hit_j = idx_ref[0, 0, j, :][:, None] >= 0
                 gall_ref[:, j * c:(j + 1) * c] = jnp.where(
-                    hit_j[:, None], g_u, 0).astype(gall_ref.dtype)
+                    hit_j, g_u, 0).astype(gall_ref.dtype)
         else:
             for j in range(kg):
                 if (identity_k is not None and pack == 1 and n_kg == 1
@@ -595,9 +597,9 @@ def _gather_gemm_call_q8(idx_t, starts, nchunks, feats_q, w_q, vco,
                 idx_u = jnp.maximum(idx_u, idx_ref[0, 0, j, :])
             g_u = gather_union(idx_u, 0)
             for j in range(kg):
-                hit_j = idx_ref[0, 0, j, :] >= 0
+                hit_j = idx_ref[0, 0, j, :][:, None] >= 0
                 gall_ref[:, j * c:(j + 1) * c] = jnp.where(
-                    hit_j[:, None], g_u, 0).astype(jnp.int8)
+                    hit_j, g_u, 0).astype(jnp.int8)
         else:
             for j in range(kg):
                 if identity_k is not None and pack == 1 and j == identity_k:
