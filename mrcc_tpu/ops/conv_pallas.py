@@ -614,7 +614,7 @@ def _gather_gemm_call_q8(idx_t, starts, nchunks, feats_q, w_q, vco,
 
         gemm = jnp.dot(gall_ref[:, :], w_ref[0],
                        preferred_element_type=jnp.int32)
-        contrib = gemm.astype(jnp.float32) * vco_ref[0, :][None, :]
+        contrib = gemm.astype(jnp.float32) * vco_ref[0, 0, :][None, :]
 
         if n_cg == 1:
             out_ref[0, :, :] = contrib.astype(out_ref.dtype)
@@ -641,8 +641,11 @@ def _gather_gemm_call_q8(idx_t, starts, nchunks, feats_q, w_q, vco,
                          (bi, 0, cgi), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, kg * c, cout), lambda bi, ti, cgi, s1, s2:
                          (cgi, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cout), lambda bi, ti, cgi, s1, s2: (cgi, 0),
-                         memory_space=pltpu.VMEM),
+            # [n_cg, 1, cout] with a singleton middle axis: Mosaic
+            # requires the block's LAST TWO dims to divide (8, 128) or
+            # equal the array dims — (1, cout) == (1, cout)
+            pl.BlockSpec((1, 1, cout), lambda bi, ti, cgi, s1, s2:
+                         (cgi, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, t, cout), lambda bi, ti, cgi, s1, s2:
                                (bi, ti, 0), memory_space=pltpu.VMEM),
@@ -714,7 +717,7 @@ def gather_gemm_conv_tiled_q8(feats, weights, tiled, out_valid, bias=None,
         f_all = q_f
     out = _gather_gemm_call_q8(
         idx_t, starts_f, nchunks_f, f_all, jnp.stack(w_qs),
-        jnp.stack(m_cos),
+        jnp.stack(m_cos)[:, None, :],
         t=t, w=w_call, kg=kg, n_out=n_out, cout=cout,
         pack=pack, w_raw=w_width, out_dtype=feats.dtype,
         identity_k=(identity_k if pack == 1
