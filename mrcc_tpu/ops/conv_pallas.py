@@ -452,30 +452,34 @@ def gather_gemm_conv_tiled(feats, weights, tiled, out_valid, bias=None,
                      ((0, n_kg * kg - k), (0, 0), (0, 0)))
     b = feats.shape[0]
     w_call = packed_window(t, pack, n // pack) if pack > 1 else w_width
-    # channel groups are a kernel grid dimension (VMEM-accumulated inside
-    # ONE pallas_call): lay the table out channel-group-major and stack
-    # the per-(kg, cg) weight blocks kgi-major (matching the grid order)
-    if pack > 1:
-        # lane-pack each group's table; tile the weights over the lane
-        # groups so masked packed gathers feed the GEMM without a shuffle
-        f_all = feats.reshape(b, n // pack, pack, n_cg, c_g).transpose(
-            0, 1, 3, 2, 4).reshape(b, n // pack, n_cg * pack * c_g)
-        w_cg = [jnp.tile(w_full[:, cg * c_g:(cg + 1) * c_g, :],
-                         (1, pack, 1)).reshape(n_kg, kg * pack * c_g, cout)
-                for cg in range(n_cg)]
-    else:
-        f_all = feats
-        w_cg = [w_full[:, cg * c_g:(cg + 1) * c_g, :].reshape(
-            n_kg, kg * c_g, cout) for cg in range(n_cg)]
-    w_all = jnp.stack(w_cg, axis=1).reshape(n_kg * n_cg, -1, cout)
-    out = _gather_gemm_call(idx_t, starts_f, nchunks_f, f_all,
-                            w_all, t=t, w=w_call, kg=kg, n_out=n_out,
-                            cout=cout, out_dtype=feats.dtype,
-                            pack=pack, w_raw=w_width,
-                            identity_k=(identity_k
-                                        if pack == 1 and n_kg == 1
-                                        else None),
-                            bcast_k=bcast_k and n_kg == 1, n_cg=n_cg)
+    # The channel-group GRID fold (n_cg as a kernel grid dim with VMEM
+    # accumulation) only pays when it is free: with n_cg > 1 the table and
+    # weight block indices change EVERY grid step, so Mosaic double-buffers
+    # both (measured: VMEM OOM at the int8 c384 decoder, and a ~6% bf16
+    # regression from per-step table re-streaming).  Multi-group shapes
+    # keep the per-group pallas_call loop: constant-index weights stay
+    # single-buffered and the table block is fetched once per item.
+    out = None
+    out_dtype = feats.dtype if n_kg == 1 else jnp.float32
+    for cg in range(n_cg):
+        f_sl = feats[:, :, cg * c_g:(cg + 1) * c_g]
+        w_sl = w_full[:, cg * c_g:(cg + 1) * c_g, :]
+        if pack > 1:
+            # lane-pack the table; tile the weights over the lane groups so
+            # masked packed gathers feed the GEMM without a lane shuffle
+            f_sl = f_sl.reshape(b, n // pack, pack * c_g)
+            w_sl = jnp.tile(w_sl, (1, pack, 1))
+        w_sl = w_sl.reshape(n_kg, kg * pack * c_g, cout)
+        contrib = _gather_gemm_call(idx_t, starts_f, nchunks_f, f_sl,
+                                    w_sl, t=t, w=w_call, kg=kg, n_out=n_out,
+                                    cout=cout, out_dtype=out_dtype,
+                                    pack=pack, w_raw=w_width,
+                                    identity_k=(identity_k
+                                                if pack == 1 and n_kg == 1
+                                                else None),
+                                    bcast_k=bcast_k and n_kg == 1)
+        out = contrib if out is None else out + contrib
+    out = out.astype(feats.dtype)
     if bias is not None:
         out = out + bias.astype(feats.dtype)
     return jnp.where(out_valid[..., None], out, 0)
@@ -698,31 +702,28 @@ def gather_gemm_conv_tiled_q8(feats, weights, tiled, out_valid, bias=None,
     w_fold = jnp.pad(w_fold, ((0, n_kg * kg - k), (0, c_pad - c), (0, 0)))
 
     w_call = packed_window(t, pack, n // pack) if pack > 1 else w_width
-    # channel groups ride the kernel grid (f32 VMEM accumulation); weight
-    # quantization stays PER GROUP (each group's dequant column scale is a
-    # kernel operand indexed by the group grid step)
-    w_qs, m_cos = [], []
+    # per-group pallas_call loop for n_cg > 1 (same VMEM double-buffering
+    # reasoning as gather_gemm_conv_tiled); weight quantization is PER
+    # GROUP either way (each group's dequant column scale rides along)
+    out = None
     for cg in range(n_cg):
+        f_sl = q_f[:, :, cg * c_g:(cg + 1) * c_g]
         w_sl = w_fold[:, cg * c_g:(cg + 1) * c_g, :]
         m_co = jnp.maximum(jnp.abs(w_sl).max(axis=(0, 1)), 1e-12) / 127.0
         w_q = jnp.clip(jnp.round(w_sl / m_co), -127, 127).astype(jnp.int8)
         if pack > 1:
+            f_sl = f_sl.reshape(b, n // pack, pack * c_g)
             w_q = jnp.tile(w_q, (1, pack, 1))
-        w_qs.append(w_q.reshape(kg * pack * c_g, cout))
-        m_cos.append(m_co)
-    if pack > 1:
-        f_all = q_f.reshape(b, n // pack, pack, n_cg, c_g).transpose(
-            0, 1, 3, 2, 4).reshape(b, n // pack, n_cg * pack * c_g)
-    else:
-        f_all = q_f
-    out = _gather_gemm_call_q8(
-        idx_t, starts_f, nchunks_f, f_all, jnp.stack(w_qs),
-        jnp.stack(m_cos)[:, None, :],
-        t=t, w=w_call, kg=kg, n_out=n_out, cout=cout,
-        pack=pack, w_raw=w_width, out_dtype=feats.dtype,
-        identity_k=(identity_k if pack == 1
-                    and feats.shape[1] == n_out else None),
-        bcast_k=bcast_k, n_cg=n_cg)
+        w_q = w_q.reshape(1, kg * pack * c_g, cout)
+        contrib = _gather_gemm_call_q8(
+            idx_t, starts_f, nchunks_f, f_sl, w_q, m_co[None, None, :],
+            t=t, w=w_call, kg=kg, n_out=n_out, cout=cout,
+            pack=pack, w_raw=w_width, out_dtype=feats.dtype,
+            identity_k=(identity_k if pack == 1
+                        and feats.shape[1] == n_out else None),
+            bcast_k=bcast_k)
+        out = contrib if out is None else out + contrib
+    out = out.astype(feats.dtype)
     if bias is not None:
         out = out + bias.astype(feats.dtype)
     return jnp.where(out_valid[..., None], out, 0)
