@@ -142,8 +142,10 @@ def _gather_gemm_call(idx_t, starts, nchunks, feats, w_grp,
     bcast_k: static; the offsets of every group share ONE index vector
       (octant/up maps: idx_k = parent_idx for all k, misses select the
       octant).  Gather once per group with union-span scalars (see
-      build_tiled_maps ``span_hit``), then write per-offset masked
-      copies — kg-1 fewer dots per group.
+      build_tiled_maps ``span_hit``), then ONE wide GEMM against the
+      octant-minor restacked weights w_grp[gi]: [Cblk, kg*Cout] — kg x
+      the output columns of the concat formulation (narrow-N dots are
+      the measured wall) — followed by a disjoint-masked octant select.
     Returns [B, n_out, Cout] ``out_dtype``.
     """
     b, n, c_all = feats.shape
@@ -223,18 +225,24 @@ def _gather_gemm_call(idx_t, starts, nchunks, feats, w_grp,
         if bcast_k:
             # octant/up maps: all real offsets in the group share the same
             # index vector; misses select the octant.  Gather ONCE (union
-            # scalars from build_tiled_maps span_hit), then write masked
-            # per-offset copies — kg-1 dots saved.
+            # scalars from build_tiled_maps span_hit), then ONE WIDE GEMM
+            # [T, C] x [C, kg*Cout] (the caller restacks the weights
+            # octant-minor): same FLOPs as the old masked-copies-into-gall
+            # formulation but kg x the output columns — narrow-N dots are
+            # the measured throughput wall (N=128 ~25 TF/s at any M; the
+            # column-tile law).  Octant selection is kg disjoint-masked
+            # adds on [T, Cout] (VPU noise).
             idx_u = idx_ref[0, 0, 0, :]
             for j in range(1, kg):
                 idx_u = jnp.maximum(idx_u, idx_ref[0, 0, j, :])
             g_u = gather_union(idx_u, 0)
+            wide = jnp.dot(g_u.astype(w_ref.dtype), w_ref[0],
+                           preferred_element_type=jnp.float32)
+            contrib = jnp.zeros((t, cout), jnp.float32)
             for j in range(kg):
-                # minor-dim insertion is 32-bit-only on Mosaic: reshape
-                # the int32 indices, compare in 2D (not bool[:, None])
                 hit_j = idx_ref[0, 0, j, :][:, None] >= 0
-                gall_ref[:, j * c:(j + 1) * c] = jnp.where(
-                    hit_j, g_u, 0).astype(gall_ref.dtype)
+                contrib = contrib + jnp.where(
+                    hit_j, wide[:, j * cout:(j + 1) * cout], 0.0)
         else:
             for j in range(kg):
                 if (identity_k is not None and pack == 1 and n_kg == 1
@@ -252,8 +260,9 @@ def _gather_gemm_call(idx_t, starts, nchunks, feats, w_grp,
                 gall_ref[:, j * c:(j + 1) * c] = gather_one(k).astype(
                     gall_ref.dtype)
 
-        contrib = jnp.dot(gall_ref[:, :].astype(w_ref.dtype), w_ref[0],
-                          preferred_element_type=jnp.float32)
+        if not bcast_k:
+            contrib = jnp.dot(gall_ref[:, :].astype(w_ref.dtype), w_ref[0],
+                              preferred_element_type=jnp.float32)
 
         if n_grid == 1:
             out_ref[0, :, :] = contrib.astype(out_ref.dtype)
@@ -281,12 +290,17 @@ def _gather_gemm_call(idx_t, starts, nchunks, feats, w_grp,
                          (bi, ti, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n, c), lambda bi, ti, gi, s1, s2:
                          (bi, 0, gi % n_cg), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kg * c, cout), lambda bi, ti, gi, s1, s2:
-                         (gi, 0, 0), memory_space=pltpu.VMEM),
+            (pl.BlockSpec((1, c, kg * cout), lambda bi, ti, gi, s1, s2:
+                          (gi, 0, 0), memory_space=pltpu.VMEM)
+             if bcast_k else
+             pl.BlockSpec((1, kg * c, cout), lambda bi, ti, gi, s1, s2:
+                          (gi, 0, 0), memory_space=pltpu.VMEM)),
         ],
         out_specs=pl.BlockSpec((1, t, cout), lambda bi, ti, gi, s1, s2:
                                (bi, ti, 0), memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((t, kg * c), feats.dtype),
+        # wide (bcast) mode never touches the gall scratch — keep it tiny
+        scratch_shapes=[pltpu.VMEM((8, 128) if bcast_k else (t, kg * c),
+                                   feats.dtype),
                         pltpu.VMEM((t, cout), jnp.float32)],
     )
     return pl.pallas_call(
@@ -321,8 +335,11 @@ def _split_plan(n, c, k, kp, itemsize):
     Returns (c_g, n_cg, c_pad, kg, n_kg, pack)."""
     c_g = c
     # (b) weight residency: bound k * c_g (scratch/weight bytes scale with
-    # itemsize, so int8 affords twice the lanes of bf16)
-    kg_lanes = _KG_LANES * 2 if itemsize == 1 else _KG_LANES
+    # itemsize, so int8 affords twice the lanes of bf16).  MRCC_KG_LANES_Q8
+    # overrides the int8 budget for width experiments (e.g. 10368 lets the
+    # c384 decoder run full-width, n_cg=1 — VMEM-borderline, probe first).
+    kg_lanes = (int(os.environ.get("MRCC_KG_LANES_Q8", _KG_LANES * 2))
+                if itemsize == 1 else _KG_LANES)
     c_lane = max(128, (kg_lanes // max(k, 1)) // 128 * 128)
     if k * c_g > kg_lanes:
         c_g = min(c_g, c_lane)
@@ -461,15 +478,26 @@ def gather_gemm_conv_tiled(feats, weights, tiled, out_valid, bias=None,
     # single-buffered and the table block is fetched once per item.
     out = None
     out_dtype = feats.dtype if n_kg == 1 else jnp.float32
+    wide = bcast_k and n_kg == 1
     for cg in range(n_cg):
         f_sl = feats[:, :, cg * c_g:(cg + 1) * c_g]
         w_sl = w_full[:, cg * c_g:(cg + 1) * c_g, :]
-        if pack > 1:
-            # lane-pack the table; tile the weights over the lane groups so
-            # masked packed gathers feed the GEMM without a lane shuffle
-            f_sl = f_sl.reshape(b, n // pack, pack * c_g)
-            w_sl = jnp.tile(w_sl, (1, pack, 1))
-        w_sl = w_sl.reshape(n_kg, kg * pack * c_g, cout)
+        if wide:
+            # octant-minor restack for the wide bcast GEMM:
+            # [kg, Cg, Cout] -> [Cg, kg*Cout]
+            w_sl = w_sl.transpose(1, 0, 2).reshape(c_g, kg * cout)
+            if pack > 1:
+                f_sl = f_sl.reshape(b, n // pack, pack * c_g)
+                w_sl = jnp.tile(w_sl, (pack, 1))
+            w_sl = w_sl[None]
+        else:
+            if pack > 1:
+                # lane-pack the table; tile the weights over the lane
+                # groups so masked packed gathers feed the GEMM without a
+                # lane shuffle
+                f_sl = f_sl.reshape(b, n // pack, pack * c_g)
+                w_sl = jnp.tile(w_sl, (1, pack, 1))
+            w_sl = w_sl.reshape(n_kg, kg * pack * c_g, cout)
         contrib = _gather_gemm_call(idx_t, starts_f, nchunks_f, f_sl,
                                     w_sl, t=t, w=w_call, kg=kg, n_out=n_out,
                                     cout=cout, out_dtype=out_dtype,
@@ -477,7 +505,7 @@ def gather_gemm_conv_tiled(feats, weights, tiled, out_valid, bias=None,
                                     identity_k=(identity_k
                                                 if pack == 1 and n_kg == 1
                                                 else None),
-                                    bcast_k=bcast_k and n_kg == 1)
+                                    bcast_k=wide)
         out = contrib if out is None else out + contrib
     out = out.astype(feats.dtype)
     if bias is not None:
@@ -596,14 +624,20 @@ def _gather_gemm_call_q8(idx_t, starts, nchunks, feats_q, w_q, vco,
             return g
 
         if bcast_k:
+            # wide bcast GEMM (see the bf16 kernel): one [T, C] int8
+            # gather, one [C, kg*Cout] GEMM, octant-select on the int32
+            # result with each wide column's own dequant scale
             idx_u = idx_ref[0, 0, 0, :]
             for j in range(1, kg):
                 idx_u = jnp.maximum(idx_u, idx_ref[0, 0, j, :])
-            g_u = gather_union(idx_u, 0)
+            g_u = gather_union(idx_u, 0).astype(jnp.int8)
+            gemm = jnp.dot(g_u, w_ref[0], preferred_element_type=jnp.int32)
+            wide = gemm.astype(jnp.float32) * vco_ref[0, 0, :][None, :]
+            contrib = jnp.zeros((t, cout), jnp.float32)
             for j in range(kg):
                 hit_j = idx_ref[0, 0, j, :][:, None] >= 0
-                gall_ref[:, j * c:(j + 1) * c] = jnp.where(
-                    hit_j, g_u, 0).astype(jnp.int8)
+                contrib = contrib + jnp.where(
+                    hit_j, wide[:, j * cout:(j + 1) * cout], 0.0)
         else:
             for j in range(kg):
                 if identity_k is not None and pack == 1 and j == identity_k:
@@ -616,9 +650,11 @@ def _gather_gemm_call_q8(idx_t, starts, nchunks, feats_q, w_q, vco,
                 # one-hot rows copy table entries verbatim: stays int8
                 gall_ref[:, j * c:(j + 1) * c] = g.astype(jnp.int8)
 
-        gemm = jnp.dot(gall_ref[:, :], w_ref[0],
-                       preferred_element_type=jnp.int32)
-        contrib = gemm.astype(jnp.float32) * vco_ref[0, 0, :][None, :]
+        if not bcast_k:
+            gemm = jnp.dot(gall_ref[:, :], w_ref[0],
+                           preferred_element_type=jnp.int32)
+            contrib = (gemm.astype(jnp.float32)
+                       * vco_ref[0, 0, :][None, :])
 
         if n_cg == 1:
             out_ref[0, :, :] = contrib.astype(out_ref.dtype)
@@ -643,17 +679,22 @@ def _gather_gemm_call_q8(idx_t, starts, nchunks, feats_q, w_q, vco,
                          (bi, ti, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n, c), lambda bi, ti, cgi, s1, s2:
                          (bi, 0, cgi), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kg * c, cout), lambda bi, ti, cgi, s1, s2:
-                         (cgi, 0, 0), memory_space=pltpu.VMEM),
-            # [n_cg, 1, cout] with a singleton middle axis: Mosaic
+            (pl.BlockSpec((1, c, kg * cout), lambda bi, ti, cgi, s1, s2:
+                          (cgi, 0, 0), memory_space=pltpu.VMEM)
+             if bcast_k else
+             pl.BlockSpec((1, kg * c, cout), lambda bi, ti, cgi, s1, s2:
+                          (cgi, 0, 0), memory_space=pltpu.VMEM)),
+            # [n_cg, 1, cols] with a singleton middle axis: Mosaic
             # requires the block's LAST TWO dims to divide (8, 128) or
-            # equal the array dims — (1, cout) == (1, cout)
-            pl.BlockSpec((1, 1, cout), lambda bi, ti, cgi, s1, s2:
+            # equal the array dims — (1, cols) == (1, cols)
+            pl.BlockSpec((1, 1, kg * cout if bcast_k else cout),
+                         lambda bi, ti, cgi, s1, s2:
                          (cgi, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, t, cout), lambda bi, ti, cgi, s1, s2:
                                (bi, ti, 0), memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((t, kg * c), jnp.int8),
+        scratch_shapes=[pltpu.VMEM((8, 128) if bcast_k else (t, kg * c),
+                                   jnp.int8),
                         pltpu.VMEM((t, cout), jnp.float32)],
     )
     return pl.pallas_call(
@@ -709,12 +750,26 @@ def gather_gemm_conv_tiled_q8(feats, weights, tiled, out_valid, bias=None,
     for cg in range(n_cg):
         f_sl = q_f[:, :, cg * c_g:(cg + 1) * c_g]
         w_sl = w_fold[:, cg * c_g:(cg + 1) * c_g, :]
-        m_co = jnp.maximum(jnp.abs(w_sl).max(axis=(0, 1)), 1e-12) / 127.0
-        w_q = jnp.clip(jnp.round(w_sl / m_co), -127, 127).astype(jnp.int8)
-        if pack > 1:
-            f_sl = f_sl.reshape(b, n // pack, pack * c_g)
-            w_q = jnp.tile(w_q, (1, pack, 1))
-        w_q = w_q.reshape(1, kg * pack * c_g, cout)
+        if bcast_k:
+            # octant-minor wide restack; per-WIDE-column quantization so
+            # each octant's Cout block keeps its own scale
+            w_sl = w_sl.transpose(1, 0, 2).reshape(c_g, kg * cout)
+            m_co = jnp.maximum(jnp.abs(w_sl).max(axis=0), 1e-12) / 127.0
+            w_q = jnp.clip(jnp.round(w_sl / m_co), -127, 127).astype(
+                jnp.int8)
+            if pack > 1:
+                f_sl = f_sl.reshape(b, n // pack, pack * c_g)
+                w_q = jnp.tile(w_q, (pack, 1))
+            w_q = w_q[None]
+        else:
+            m_co = jnp.maximum(jnp.abs(w_sl).max(axis=(0, 1)),
+                               1e-12) / 127.0
+            w_q = jnp.clip(jnp.round(w_sl / m_co), -127, 127).astype(
+                jnp.int8)
+            if pack > 1:
+                f_sl = f_sl.reshape(b, n // pack, pack * c_g)
+                w_q = jnp.tile(w_q, (1, pack, 1))
+            w_q = w_q.reshape(1, kg * pack * c_g, cout)
         contrib = _gather_gemm_call_q8(
             idx_t, starts_f, nchunks_f, f_sl, w_q, m_co[None, None, :],
             t=t, w=w_call, kg=kg, n_out=n_out, cout=cout,
