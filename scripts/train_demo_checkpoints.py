@@ -10,6 +10,7 @@ Usage: python scripts/train_demo_checkpoints.py [--epochs 40] [--samples 24]
 """
 
 import argparse
+import dataclasses
 import json
 import sys
 import time
@@ -46,6 +47,10 @@ def main():
     ap.add_argument("--pose-batch", type=int, default=None,
                     help="batch size for the rotation/keypoint heads "
                          "(default: --batch; large corpora want 32-64)")
+    ap.add_argument("--kp-batch", type=int, default=None,
+                    help="keypoint-head batch (default: min(pose batch, "
+                         "32) — kp trains at 4096-voxel crops, 2x the "
+                         "rotation capacity; batch 64 OOMs 16G HBM)")
     ap.add_argument("--mesh", type=int, default=None,
                     help="data-parallel mesh size for training (any "
                          "device kind; CPU needs "
@@ -147,9 +152,12 @@ def main():
     kp_ds = AliveV2Dataset(samples=ee_samples, cfg=kp_cfg)
     kp_model = RobotNetSegmentation(backbone=args.backbone, in_channels=3,
                                     num_classes=6)
-    kstep, kopt = make_segmentation_train_step(kp_model, kp_cfg, rtc,
+    ktc = dataclasses.replace(
+        rtc, batch_size=(args.kp_batch
+                         or min(args.pose_batch or args.batch, 32)))
+    kstep, kopt = make_segmentation_train_step(kp_model, kp_cfg, ktc,
                                                voxel_capacity=4096)
-    ktrainer = Trainer(kp_model, kp_ds, kstep, kopt, rtc, mesh=mesh,
+    ktrainer = Trainer(kp_model, kp_ds, kstep, kopt, ktc, mesh=mesh,
                        exp_path=f"{args.out}/key_points", exp_name="kp")
     khist = ktrainer.fit(epochs=args.pose_epochs or args.epochs)
     if khist:
