@@ -244,3 +244,38 @@ class TestLanePacked:
         dw_want = np.asarray(jax.grad(loss_xla)(w))
         dw_got = np.asarray(dw_gather_gemm(feats, g, tiled, k, cin=cin))
         np.testing.assert_allclose(dw_got, dw_want, rtol=2e-3, atol=2e-3)
+
+
+def test_packed_bcast_wide_oracle(rng, monkeypatch):
+    """Lane-packed BROADCAST (octant/up) maps through the wide-GEMM
+    formulation: one packed gather + [T, pack*c_g] x [.., kg*Cout] GEMM +
+    octant select must match the generic kernel-map oracle."""
+    from mrcc_tpu.ops import conv_pallas as cp
+    from mrcc_tpu.ops.conv_pallas import (_split_plan, build_tiled_maps,
+                                          gather_gemm_conv_tiled)
+    from mrcc_tpu.sparse.conv import conv_kernel_map
+
+    monkeypatch.setattr(cp, "_TABLE_BUDGET", 300 * 1024)
+    k, b, n_in, n_out, cin, cout = 8, 2, 1024, 1024, 64, 48
+    *_, pack = _split_plan(n_in, cin, k, 8, itemsize=4)
+    assert pack > 1, "budget must force the packed path"
+
+    parent = np.sort(rng.integers(0, n_in, size=(b, n_out)).astype(np.int32),
+                     axis=1)
+    octant = rng.integers(0, k, size=(b, n_out))
+    idx8 = np.broadcast_to(parent[None], (k, b, n_out)).copy()
+    hit8 = octant[None] == np.arange(k)[:, None, None]
+    feats = jnp.asarray(rng.normal(size=(b, n_in, cin)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(k, cin, cout)) / 6, jnp.float32)
+    valid = jnp.ones((b, n_out), bool)
+
+    span = jnp.ones((k, b, n_out), bool)
+    tiled = build_tiled_maps(jnp.asarray(idx8), jnp.asarray(hit8), n_in,
+                             span_hit=span)
+    got = np.asarray(gather_gemm_conv_tiled(feats, w, tiled, valid, k=k,
+                                            bcast_k=True))
+    want = np.asarray(conv_kernel_map(feats, w, jnp.asarray(idx8),
+                                      jnp.asarray(hit8), valid))
+    err = (np.linalg.norm(got - want)
+           / max(np.linalg.norm(want), 1e-9))
+    assert err < 3e-3, err
