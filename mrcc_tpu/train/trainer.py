@@ -311,8 +311,12 @@ class Trainer:
         for epoch in range(start, epochs + 1):
             stats = self.train_epoch(epoch)
             self.state = self.state.replace(epoch=epoch)
+            # the reference saves at save_freq multiples / powers of two
+            # (utils/utils.py:62-126); we ALSO save the final epoch, so a
+            # restore always resumes the exact state fit() returned (an
+            # unsaved final epoch silently retrains its tail on restart)
             if save and (ckpt.is_multiple(epoch, self.cfg.save_freq)
-                         or ckpt.is_power2(epoch)):
+                         or ckpt.is_power2(epoch) or epoch == epochs):
                 ckpt.checkpoint_save(self.state, self.exp_path, self.exp_name,
                                      epoch, save_freq=self.cfg.save_freq)
             history.append(stats)

@@ -62,6 +62,11 @@ def main():
                     help="engine conv impl for the held-out benchmark "
                          "(auto|pallas|pallas-int8|xla) — int8 vs bf16 "
                          "accuracy-delta runs restore the same checkpoints")
+    ap.add_argument("--bench-only", action="store_true",
+                    help="skip sample generation/training: restore all "
+                         "three checkpoints at their saved epochs and run "
+                         "only the held-out benchmark (requires a prior "
+                         "full run whose final epochs were checkpointed)")
     ap.add_argument("--json-out", default=None,
                     help="write the held-out benchmark stats table "
                          "(Avg/Min/Max/Med/Std/N per metric) to this path")
@@ -84,14 +89,16 @@ def main():
         from mrcc_tpu.parallel import make_mesh
 
         mesh = make_mesh(args.mesh)
+    n_scenes = 1 if args.bench_only else args.samples
     samples = [generate_sample(seed=1000 + i, n_ee=2048, n_arm=3000,
-                               n_bg=7000) for i in range(args.samples)]
+                               n_bg=7000) for i in range(n_scenes)]
     # pose/keypoint heads see only the EE crop — generate many cheap
     # EE-dominant samples for pose diversity (rotation regression needs far
     # more pose coverage than segmentation does)
+    n_crops = 1 if args.bench_only else args.samples * args.ee_mult
     ee_samples = [generate_sample(seed=20000 + i, n_ee=2048, n_arm=96,
                                   n_bg=96)
-                  for i in range(args.samples * args.ee_mult)]
+                  for i in range(n_crops)]
     tc = TrainConfig(lr=1e-3, batch_size=args.batch, epochs=args.epochs,
                      save_freq=max(args.epochs // 2, 1))
 
@@ -106,7 +113,8 @@ def main():
                                              voxel_capacity=8192)
     trainer = Trainer(seg_model, seg_ds, step, opt, tc, mesh=mesh,
                       exp_path=f"{args.out}/segmentation", exp_name="seg")
-    hist = trainer.fit(epochs=args.epochs)
+    hist = (None if args.bench_only else
+            trainer.fit(epochs=args.epochs))
     if hist:
         print(f"seg: loss {hist[0]['loss']:.3f} -> {hist[-1]['loss']:.3f} "
               f"({time.time()-t0:.0f}s)", flush=True)
@@ -136,7 +144,8 @@ def main():
         voxel_capacity=2048)
     rtrainer = Trainer(rot_model, rot_ds, rstep, ropt, rtc, mesh=mesh,
                        exp_path=f"{args.out}/rotation", exp_name="rot")
-    rhist = rtrainer.fit(epochs=args.pose_epochs or args.epochs)
+    rhist = (None if args.bench_only else
+             rtrainer.fit(epochs=args.pose_epochs or args.epochs))
     if rhist:
         print(f"rot: loss {rhist[0]['loss']:.3f} -> {rhist[-1]['loss']:.3f} "
               f"({time.time()-t0:.0f}s)", flush=True)
@@ -159,7 +168,8 @@ def main():
                                                voxel_capacity=4096)
     ktrainer = Trainer(kp_model, kp_ds, kstep, kopt, ktc, mesh=mesh,
                        exp_path=f"{args.out}/key_points", exp_name="kp")
-    khist = ktrainer.fit(epochs=args.pose_epochs or args.epochs)
+    khist = (None if args.bench_only else
+             ktrainer.fit(epochs=args.pose_epochs or args.epochs))
     if khist:
         print(f"kp: loss {khist[0]['loss']:.3f} -> {khist[-1]['loss']:.3f} "
               f"({time.time()-t0:.0f}s)", flush=True)
