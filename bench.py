@@ -133,8 +133,31 @@ def certify_kernels():
             raise AssertionError(
                 f"compiled {impl} conv off by {err:.4f} rel vs the XLA "
                 "oracle — refusing to report a benchmark number")
-    print("# on-chip kernel certification passed (rank, bf16 conv, int8 "
-          "conv)", file=sys.stderr)
+
+    # the wide-bcast (octant/up) mode compiles a DIFFERENT kernel
+    # specialization — certify it too (it shipped its first compiled run
+    # with an i1-reshape Mosaic failure the CPU suite could not see)
+    nc = lv_x[1].key.shape[1]
+    cfeats = jnp.asarray(rng.normal(size=(b, nc, 48)), jnp.float32)
+    cfeats = jnp.where(lv_x[1].valid[..., None], cfeats, 0)
+    w8 = jnp.asarray(rng.normal(size=(8, 48, 64)) / 6, jnp.float32)
+    with sparse_impl("xla"):
+        want_up = np.asarray(C.conv_transpose_up(cfeats, w8, lv_x[1],
+                                                 lv_x[0]))
+    wn_up = max(float(np.linalg.norm(want_up)), 1e-9)
+    for impl, f, tol in (
+            ("pallas", cfeats.astype(jnp.bfloat16), 2e-2),
+            ("pallas-int8", cfeats, 3e-2)):
+        with sparse_impl(impl):
+            got = np.asarray(C.conv_transpose_up(
+                f, w8.astype(f.dtype), lv_p[1], lv_p[0])).astype(np.float32)
+        err = float(np.linalg.norm(got - want_up)) / wn_up
+        if err > tol:
+            raise AssertionError(
+                f"compiled {impl} up-transpose off by {err:.4f} rel vs "
+                "the XLA oracle — refusing to report a benchmark number")
+    print("# on-chip kernel certification passed (rank, bf16/int8 conv, "
+          "bf16/int8 up-transpose)", file=sys.stderr)
 
 
 def main():
