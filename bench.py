@@ -163,8 +163,10 @@ def certify_kernels():
 def main():
     import jax
 
+    import mrcc_tpu
     from mrcc_tpu.app import InferenceConfig, InferenceEngine
 
+    mrcc_tpu.enable_compilation_cache()
     on_tpu = jax.devices()[0].platform != "cpu"
     if on_tpu and os.environ.get("BENCH_CERTIFY", "1") != "0":
         certify_kernels()

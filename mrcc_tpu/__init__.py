@@ -28,13 +28,20 @@ fallbacks.
 __version__ = "0.1.0"
 
 
-def _enable_compilation_cache():
-    """Persistent XLA compilation cache (opt-out: MRCC_NO_COMPILE_CACHE=1).
+def enable_compilation_cache():
+    """Opt-in persistent XLA compilation cache (no-op under
+    MRCC_NO_COMPILE_CACHE=1).
 
     On this remote-compiled TPU runtime a cold compile of the fused
     inference program takes minutes; the persistent cache makes every
     relaunch (bench, training scripts, the driver's own bench run) reuse
     prior compiles.  Harmless on CPU test runs (min-compile-time gate).
+
+    Called explicitly by the repo entry points (bench.py, the train/test
+    CLIs, __graft_entry__) rather than at package import: importing a
+    library should not mutate global jax config or write to the
+    filesystem (~/.cache/mrcc_jax).  Downstream consumers opt in by
+    calling this once before their first compile.
     """
     import os
 
@@ -50,6 +57,3 @@ def _enable_compilation_cache():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     except Exception:  # pragma: no cover - cache is best-effort
         pass
-
-
-_enable_compilation_cache()

@@ -138,6 +138,9 @@ class Config:
             save_freq=g.get("save_freq", 4),
             batch_size=d.get("batch_size", 2),
             seed=g.get("seed", 1),
+            # schema extension (not in the reference YAML): TPU trainers
+            # select the sparse-conv impl like the engine does
+            conv_impl=t.get("conv_impl", "auto"),
         )
 
     def loss_config(self):

@@ -9,4 +9,5 @@ from .trainer import (  # noqa: F401
     TrainState,
     make_pose_train_step,
     make_segmentation_train_step,
+    resolve_conv_impl,
 )

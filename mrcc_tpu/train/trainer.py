@@ -24,6 +24,7 @@ import optax
 from ..geometry.metrics import compute_pose_dist
 from ..parallel import mesh as mesh_lib
 from ..sparse import build_hierarchy, voxelize
+from ..sparse.impl import sparse_impl
 from . import checkpoint as ckpt
 from .losses import LossConfig, LossType, get_criterion, segmentation_loss
 
@@ -42,6 +43,24 @@ class TrainConfig:
     save_freq: int = 4
     batch_size: int = 2
     seed: int = 1
+    # sparse-conv implementation for the train step, same semantics as
+    # InferenceConfig.conv_impl: 'auto' = Pallas windowed gather-GEMM
+    # kernels (fwd + custom VJP, ops/conv_pallas.py) on TPU, XLA gathers
+    # elsewhere.  The reference's main workload is the training hot loop
+    # (train.py:39-151) — it must run the kernel path, not only inference.
+    conv_impl: str = "auto"
+
+
+def resolve_conv_impl(name: str) -> str:
+    """'auto' -> the kernel path on TPU, the XLA formulation elsewhere
+    (same rule as InferenceEngine).  int8 is inference-only: quantized
+    gathers are not differentiable."""
+    if name == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    if name == "pallas-int8":
+        raise ValueError("pallas-int8 is inference-only; training needs a "
+                         "differentiable conv impl (auto|pallas|xla)")
+    return name
 
 
 @flax.struct.dataclass
@@ -121,8 +140,12 @@ def make_pose_train_step(model, data_cfg, loss_cfg: LossConfig,
     qsize = data_cfg.quantization_size
     caps = (voxel_capacity, max(voxel_capacity // 2, 64),
             max(voxel_capacity // 4, 64), max(voxel_capacity // 8, 64))
+    impl = resolve_conv_impl(train_cfg.conv_impl)
 
     def step(state: TrainState, batch, lr):
+      # impl is consulted at TRACE time (jit caches the traced graph), so
+      # the context must wrap the whole step body — fwd AND the grad trace
+      with sparse_impl(impl):
         vox, _, _ = voxelize(batch["points"], batch["feats"], batch["mask"],
                              qsize, voxel_capacity)
         levels = build_hierarchy(vox, 4, capacities=caps)
@@ -171,8 +194,11 @@ def make_segmentation_train_step(model, data_cfg, train_cfg: TrainConfig,
     qsize = data_cfg.quantization_size
     caps = (voxel_capacity, max(voxel_capacity // 2, 64),
             max(voxel_capacity // 4, 64), max(voxel_capacity // 8, 64))
+    impl = resolve_conv_impl(train_cfg.conv_impl)
 
     def step(state: TrainState, batch, lr):
+      # trace-time impl selection — see make_pose_train_step
+      with sparse_impl(impl):
         vox, _, vlabels = voxelize(
             batch["points"], batch["feats"], batch["mask"], qsize,
             voxel_capacity, labels=batch["labels"],

@@ -75,6 +75,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    import mrcc_tpu
     from mrcc_tpu.data import AliveV2Dataset, DataConfig
     from mrcc_tpu.data.synthetic import generate_sample, gt_base2cam_pose
     from mrcc_tpu.models import RobotNetEncode, RobotNetSegmentation
@@ -83,6 +84,7 @@ def main():
                                 make_segmentation_train_step)
     from mrcc_tpu.train import checkpoint as ckpt
 
+    mrcc_tpu.enable_compilation_cache()
     print(f"devices: {jax.devices()}", flush=True)
     mesh = None
     if args.mesh:

@@ -25,6 +25,9 @@ import jax.numpy as jnp
 
 def main():
     assert jax.devices()[0].platform != "cpu", "run on the TPU"
+    import mrcc_tpu
+
+    mrcc_tpu.enable_compilation_cache()
     from bench import certify_kernels
 
     certify_kernels()

@@ -26,8 +26,13 @@ else:
 
     jax.config.update("jax_platforms", "cpu")
 
+import mrcc_tpu  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# pytest is an entry point: reuse compiled programs across runs (the heavy
+# interpret-mode conv-oracle compiles dominate suite wall time)
+mrcc_tpu.enable_compilation_cache()
 
 
 @pytest.fixture
