@@ -62,6 +62,11 @@ def main():
                     help="engine conv impl for the held-out benchmark "
                          "(auto|pallas|pallas-int8|xla) — int8 vs bf16 "
                          "accuracy-delta runs restore the same checkpoints")
+    ap.add_argument("--train-conv-impl", default="auto",
+                    help="sparse-conv impl for the TRAIN steps "
+                         "(auto|pallas|xla; auto = Pallas custom-VJP "
+                         "kernels on TPU — scripts/probe_train_impl.py "
+                         "measures the two)")
     ap.add_argument("--bench-only", action="store_true",
                     help="skip sample generation/training: restore all "
                          "three checkpoints at their saved epochs and run "
@@ -102,7 +107,8 @@ def main():
                                   n_bg=96)
                   for i in range(n_crops)]
     tc = TrainConfig(lr=1e-3, batch_size=args.batch, epochs=args.epochs,
-                     save_freq=max(args.epochs // 2, 1))
+                     save_freq=max(args.epochs // 2, 1),
+                     conv_impl=args.train_conv_impl)
 
     # ---------------- segmentation (full scenes, 3 classes)
     t0 = time.time()
@@ -137,7 +143,8 @@ def main():
     rtc = TrainConfig(lr=args.pose_lr,
                       batch_size=args.pose_batch or args.batch,
                       epochs=args.epochs,
-                      save_freq=max(args.epochs // 2, 1))
+                      save_freq=max(args.epochs // 2, 1),
+                      conv_impl=args.train_conv_impl)
     rstep, ropt = make_pose_train_step(
         rot_model, rot_cfg,
         LossConfig(loss_type=(LossType.COS2_6D if args.rot_6d
