@@ -35,6 +35,33 @@ import pytest  # noqa: E402
 mrcc_tpu.enable_compilation_cache()
 
 
+# ---------------------------------------------------------------- test tiers
+#
+# The kernel-oracle suites run Pallas in interpret mode on CPU — minutes of
+# XLA-CPU compile each on this 1-core box (full suite ~95 min).  Default run
+# = fast tier (<5 min); `pytest --full` runs everything.  CI-style gate:
+#   fast:  python -m pytest tests/ -x -q
+#   full:  python -m pytest tests/ -x -q --full        (pre-round snapshot)
+#   chip:  MRCC_TEST_TPU=1 python scripts/test_on_tpu.py   (compiled kernels)
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--full", action="store_true", default=False,
+        help="run the slow tier too (interpret-mode kernel oracles, "
+             "engine-building pipelines)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--full"):
+        return
+    skip = pytest.mark.skip(
+        reason="slow tier (run with --full or scripts/test_on_tpu.py)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)

@@ -11,6 +11,9 @@ from mrcc_tpu.app import (
 )
 from mrcc_tpu.data.synthetic import gt_base2cam_pose
 
+# slow tier: fused-engine builds (compile-dominated on CPU) — run with --full or scripts/test_on_tpu.py
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def engine():

@@ -6,6 +6,9 @@ import pytest
 
 from mrcc_tpu.config import Config
 
+# slow tier: end-to-end CLI training loops — run with --full or scripts/test_on_tpu.py
+pytestmark = pytest.mark.slow
+
 
 def tiny_cfg(tmp_path, dataset_dir=None, **structure):
     import os as _os

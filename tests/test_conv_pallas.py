@@ -13,6 +13,9 @@ import jax.numpy as jnp
 from mrcc_tpu.ops.conv_pallas import gather_gemm_conv, supported
 from mrcc_tpu.sparse.conv import conv_kernel_map
 
+# slow tier: interpret-mode Pallas conv oracles (minutes of XLA-CPU compile each) — run with --full or scripts/test_on_tpu.py
+pytestmark = pytest.mark.slow
+
 
 def monotone_maps(rng, k, b, n, hit_rate=0.7, drift=8):
     """Synthetic monotone kernel maps like searchsorted output."""

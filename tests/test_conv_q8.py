@@ -18,6 +18,9 @@ from mrcc_tpu.sparse import build_hierarchy, voxelize
 from mrcc_tpu.sparse import conv as C
 from mrcc_tpu.sparse.impl import sparse_impl
 
+# slow tier: interpret-mode int8 conv oracles — run with --full or scripts/test_on_tpu.py
+pytestmark = pytest.mark.slow
+
 B, N, CAP = 2, 384, 256
 HCAPS = (128, 128)
 

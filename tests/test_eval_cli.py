@@ -135,6 +135,7 @@ class TestEvalHarness:
         assert np.isfinite(res["overall"]["dist_position"]["avg"])
 
 
+@pytest.mark.slow
 class TestBenchmarkApp:
     def test_end_to_end_benchmark(self, tmp_path):
         from mrcc_tpu.app import (InferenceConfig, InferenceEngine,
@@ -159,6 +160,7 @@ class TestBenchmarkApp:
         assert os.path.exists(res["report"])
 
 
+@pytest.mark.slow
 class TestCLISmoke:
     def test_train_and_test_vote(self, small_cfg):
         # exercises dataset bootstrap + vote training one epoch + vote eval
@@ -192,6 +194,7 @@ class TestPerPositionReport:
         if text:
             assert "OVERALL" in text and "p2" in text
 
+    @pytest.mark.slow
     def test_benchmark_app_per_class_and_positions(self):
         from mrcc_tpu.app import (InferenceConfig, InferenceEngine,
                                   SyntheticDataEngine)

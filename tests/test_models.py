@@ -33,6 +33,7 @@ SMALL = dict(backbone="minkunet14A", in_channels=3)
 
 
 class TestBackbones:
+    @pytest.mark.slow
     def test_minkunet_shapes(self, rng):
         vox, _, levels = make_batch(rng)
         net = make_minkunet("minkunet14A", 3, 5)
@@ -54,6 +55,7 @@ class TestBackbones:
         net = make_minkunet("minkunet101", 3, 7)
         assert net.block == "bottleneck"
 
+    @pytest.mark.slow
     def test_batch_item_independence(self, rng):
         # masked-out half of item 1 must not change item 0's output
         vox, _, levels = make_batch(rng)
@@ -70,6 +72,7 @@ class TestBackbones:
 
 
 class TestHeads:
+    @pytest.mark.slow
     def test_robotnet_pose(self, rng):
         vox, _, levels = make_batch(rng)
         net = RobotNet(out_channels=7, **SMALL)
@@ -81,6 +84,7 @@ class TestHeads:
             np.linalg.norm(np.asarray(out)[:, 3:7], axis=-1), 1.0, atol=1e-5
         )
 
+    @pytest.mark.slow
     def test_robotnet_confidence(self, rng):
         vox, _, levels = make_batch(rng)
         net = RobotNet(out_channels=10, **SMALL)
@@ -116,6 +120,7 @@ class TestHeads:
             atol=1e-6,
         )
 
+    @pytest.mark.slow
     def test_segmentation(self, rng):
         vox, pv, levels = make_batch(rng)
         net = RobotNetSegmentation(num_classes=3, **SMALL)
@@ -123,6 +128,7 @@ class TestHeads:
         out = net.apply(params, vox.feats, levels)
         assert out.shape == (2, vox.capacity, 3)
 
+    @pytest.mark.slow
     def test_vote(self, rng):
         vox, _, levels = make_batch(rng)
         net = RobotNetVote(num_classes=2, **SMALL)
@@ -130,6 +136,7 @@ class TestHeads:
         out = net.apply(params, vox.feats, levels)
         assert out.shape == (2, vox.capacity, 2)
 
+    @pytest.mark.slow
     def test_train_step_grad(self, rng):
         vox, _, levels = make_batch(rng)
         net = RobotNetSegmentation(num_classes=3, **SMALL)
@@ -153,6 +160,7 @@ class TestHeads:
         assert total > 0
 
 
+@pytest.mark.slow
 class TestFullSize:
     def test_minkunet18d_compiles(self, rng):
         # one pass through the flagship backbone (small cloud, jit)

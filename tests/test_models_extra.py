@@ -8,6 +8,9 @@ import jax
 from mrcc_tpu.models import AliveUNet
 from mrcc_tpu.sparse import build_hierarchy, voxelize
 
+# slow tier: AliveUNet depth-7 compiles — run with --full or scripts/test_on_tpu.py
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def cloud7():

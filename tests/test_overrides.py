@@ -42,6 +42,7 @@ def cfg_with(tmp_path, name, backbone="minkunet14A", dataset_dir=None,
 
 
 class TestOverrideReproductions:
+    @pytest.mark.slow
     def test_segmentation(self, tmp_path, tiny_dataset_dir):
         from mrcc_tpu.cli.train_mains import train_segmentation
 
@@ -51,6 +52,7 @@ class TestOverrideReproductions:
         hist = train_segmentation(cfg, epochs=1)
         assert len(hist) == 1 and np.isfinite(hist[0]["loss"])
 
+    @pytest.mark.slow
     def test_rotation_only(self, tmp_path, tiny_dataset_dir):
         from mrcc_tpu.cli.train_mains import train_pose
 
@@ -60,6 +62,7 @@ class TestOverrideReproductions:
         hist = train_pose(cfg, epochs=1)
         assert len(hist) == 1 and np.isfinite(hist[0]["loss"])
 
+    @pytest.mark.slow
     def test_key_points_sparse(self, tmp_path, tiny_dataset_dir):
         from mrcc_tpu.cli.train_mains import train_key_points
 
@@ -78,6 +81,7 @@ class TestOverrideReproductions:
         assert len(hist) == 1
         assert hist[0]["loss"] is None or np.isfinite(hist[0]["loss"])
 
+    @pytest.mark.slow
     def test_vote(self, tmp_path, tiny_dataset_dir):
         from mrcc_tpu.cli.train_mains import train_vote
 
@@ -92,6 +96,7 @@ class TestOverrideReproductions:
                          exp_path=str(tmp_path / "exp"))
             assert cfg()["DATA"]  # merged over defaults
 
+    @pytest.mark.slow
     def test_inference_mode_builds_engine_from_yaml(self, tmp_path, tiny_dataset_dir):
         """MODE: inference — engine construction from checkpoint fields
         written by a (tiny) training run (reference ctor :54-126)."""

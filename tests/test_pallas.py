@@ -7,6 +7,9 @@ import jax.numpy as jnp
 
 from mrcc_tpu.ops.nn_pallas import nn_search_pallas
 
+# slow tier: interpret-mode kernel smoke — run with --full or scripts/test_on_tpu.py
+pytestmark = pytest.mark.slow
+
 
 class TestNNSearchPallas:
     def test_matches_oracle(self, rng):

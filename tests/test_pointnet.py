@@ -87,6 +87,7 @@ class TestOps:
 
 
 class TestModels:
+    @pytest.mark.slow
     def test_pointnet2_ssg(self, rng):
         x = jnp.asarray(rng.normal(size=(2, 2048, 6)).astype(np.float32))
         net = PointNet2SSG(num_classes=6)
@@ -102,6 +103,7 @@ class TestModels:
         out = net.apply(params, x)
         assert out.shape == (2, 7)
 
+    @pytest.mark.slow
     def test_pointnet2_msg_encoder(self, rng):
         x = jnp.asarray(rng.normal(size=(2, 512, 6)).astype(np.float32))
         net = PointNet2MSGEncoder(num_classes=16)
@@ -127,6 +129,7 @@ class TestMetricLearning:
         assert l_good < 0.01
         assert l_bad > l_good
 
+    @pytest.mark.slow
     def test_featurenet_embedding(self, rng):
         from mrcc_tpu.data.ycb import YCBDataset
         from mrcc_tpu.models.featurenet import FeatureNet

@@ -19,6 +19,9 @@ from mrcc_tpu.sparse.hierarchy import (
 from mrcc_tpu.sparse.impl import sparse_impl
 from mrcc_tpu.sparse.types import KEY_PAD, pack_key
 
+# slow tier: interpret-mode rank-kernel oracles — run with --full or scripts/test_on_tpu.py
+pytestmark = pytest.mark.slow
+
 
 def random_voxels(rng, b, n, n_valid=None, extent=24):
     """Sorted unique voxel keys per item with padding."""

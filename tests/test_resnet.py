@@ -72,6 +72,7 @@ class TestResNets:
         assert out.shape == (2, 5)
         assert np.isfinite(np.asarray(out)).all()
 
+    @pytest.mark.slow
     def test_resnet50_bottleneck(self, cloud):
         vox, l0 = cloud
         net = SparseResNet50(3, 4)

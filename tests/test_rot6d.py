@@ -81,6 +81,7 @@ def test_cos2_6d_confidence_heads(rng):
     assert float(crit(y, y_unconf)) > 1.0
 
 
+@pytest.mark.slow
 def test_rot6d_train_step_learns(rng):
     """One pose sample, a few steps: the 6D head's loss must drop."""
     from mrcc_tpu.data import DataConfig

@@ -111,6 +111,7 @@ def seg_setup():
     return ds, model
 
 
+@pytest.mark.slow
 class TestTrainSteps:
     def test_segmentation_step_reduces_loss(self, seg_setup):
         ds, model = seg_setup
