@@ -195,6 +195,11 @@ def main():
         icp_template_points=1024,
         # BENCH_IMPL=pallas-int8 measures the quantized inference route
         conv_impl=os.environ.get("BENCH_IMPL", "auto"),
+        # BENCH_SEG_BACKBONE=minkunet18 measures the default-PLANES decoder
+        # (the model-level lever: 18D's 384-wide decoder is ~76% of U-Net
+        # time; reference default PLANES is (...,256,128,96,96),
+        # model/backbone/minkunet.py:40-44)
+        seg_backbone=os.environ.get("BENCH_SEG_BACKBONE", "minkunet"),
     )
     engine = InferenceEngine(cfg, seed=0)
     if engine._conv_impl == "pallas-int8":
