@@ -1,0 +1,75 @@
+"""Worker process for the 2-process DCN fleet test (tests/test_multichip.py).
+
+Each process owns 2 virtual CPU devices (4 global), joins the cluster via
+``fleet.init_distributed``, builds the SAME small engine (seed=0 params are
+deterministic per process), globalizes its local 4-row batch slice into the
+8-row global batch, predicts, and writes its local slice of the outputs to
+an .npz the parent asserts against a single-process oracle.
+
+Pins the multi-host contract of mrcc_tpu/parallel/fleet.py
+(init_distributed / make_global_mesh / globalize / local_slice) that the
+degenerate single-process tests cannot see (SURVEY.md §5 "multi-host
+inference over DCN").  Env set by the parent test: JAX_COORDINATOR_ADDRESS,
+JAX_NUM_PROCESSES, JAX_PROCESS_ID, FLEET_OUT.
+"""
+
+import os
+import sys
+
+# 2 local virtual CPU devices per process, BEFORE any jax import (drop any
+# inherited device-count flag — the parent test process runs with 8)
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
+          if "xla_force_host_platform_device_count" not in f]
+os.environ["XLA_FLAGS"] = " ".join(
+    _flags + ["--xla_force_host_platform_device_count=2"])
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    import jax  # noqa: E402
+
+    # env vars alone do NOT stick — the axon TPU plugin re-registers; the
+    # config update before first backend use is what forces CPU here
+    # (same dance as tests/conftest.py / verify-skill "environment gotcha")
+    jax.config.update("jax_platforms", "cpu")
+
+    import mrcc_tpu  # noqa: E402
+    from mrcc_tpu.parallel import fleet  # noqa: E402
+
+    mrcc_tpu.enable_compilation_cache()
+    assert fleet.init_distributed() is True
+    rank = jax.process_index()
+    nproc = jax.process_count()
+    assert nproc == 2, nproc
+
+    mesh = fleet.make_global_mesh()
+    assert mesh.devices.size == 4, mesh.devices
+
+    from test_multichip import build_batch, small_cfg  # noqa: E402
+
+    from mrcc_tpu.app import InferenceEngine  # noqa: E402
+
+    pts, rgb, mask = build_batch(b=8, p=1024)
+    lo, hi = rank * 4, rank * 4 + 4
+    gpts, grgb, gmask = fleet.globalize(mesh, pts[lo:hi], rgb[lo:hi],
+                                        mask[lo:hi])
+    assert gpts.shape == (8, 1024, 3), gpts.shape
+
+    engine = InferenceEngine(small_cfg(), seed=0, mesh=mesh)
+    out = engine.predict_batch_arrays(gpts, grgb, gmask)
+
+    np.savez(os.environ["FLEET_OUT"],
+             rank=rank,
+             segmentation=fleet.local_slice(out["segmentation"]),
+             ee_count=fleet.local_slice(out["ee_count"]),
+             ee_pose=fleet.local_slice(out["ee_pose"]),
+             kp_found=fleet.local_slice(out["kp_found"]))
+    print(f"fleet worker {rank}: ok", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -6,11 +6,16 @@ single-device XLA oracle engine: the Pallas-vs-XLA math is already pinned
 by the kernel oracle suites, and the mesh tests pin sharding behavior.
 """
 
+import os
+
 import numpy as np
 import pytest
 
 from mrcc_tpu.app import InferenceConfig, InferenceEngine
 from mrcc_tpu.parallel import make_mesh
+
+# slow tier: 8-device engine builds + 2-process fleet run — run with --full or scripts/test_on_tpu.py
+pytestmark = pytest.mark.slow
 
 
 def small_cfg():
@@ -135,3 +140,61 @@ class TestFleet:
                                       out["segmentation"])
         np.testing.assert_allclose(out1["ee_pose"], out["ee_pose"],
                                    atol=1e-2)
+
+
+@pytest.mark.slow
+class TestFleetTwoProcess:
+    """REAL 2-process jax.distributed run (VERDICT r3 #7): subprocess-spawned
+    workers (2 virtual CPU devices each, 4 global) join a coordinator, build
+    the same engine, globalize per-process batch slices, and their
+    local_slice outputs must reassemble to the single-process result —
+    pinning the init_distributed/globalize/local_slice contract that the
+    degenerate single-process path cannot see."""
+
+    def test_two_process_engine_matches_single(self, oracle, tmp_path):
+        import socket
+        import subprocess
+        import sys as _sys
+
+        (pts, rgb, mask), out1 = oracle
+
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+
+        worker = str((__import__("pathlib").Path(__file__).parent
+                      / "fleet_worker.py"))
+        procs, outs = [], []
+        for rank in range(2):
+            out_npz = tmp_path / f"fleet_{rank}.npz"
+            outs.append(out_npz)
+            env = dict(os.environ)
+            env.update({
+                "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
+                "JAX_NUM_PROCESSES": "2",
+                "JAX_PROCESS_ID": str(rank),
+                "FLEET_OUT": str(out_npz),
+            })
+            env.pop("MRCC_TEST_TPU", None)
+            procs.append(subprocess.Popen(
+                [_sys.executable, worker], env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True))
+        logs = []
+        for p in procs:
+            log, _ = p.communicate(timeout=900)
+            logs.append(log)
+        for p, log in zip(procs, logs):
+            assert p.returncode == 0, log[-4000:]
+
+        seg = np.concatenate(
+            [np.load(o)["segmentation"] for o in outs], axis=0)
+        cnt = np.concatenate([np.load(o)["ee_count"] for o in outs], axis=0)
+        pose = np.concatenate([np.load(o)["ee_pose"] for o in outs], axis=0)
+        found = np.concatenate([np.load(o)["kp_found"] for o in outs], axis=0)
+        np.testing.assert_array_equal(out1["segmentation"], seg)
+        np.testing.assert_array_equal(out1["ee_count"], cnt)
+        # per-shard f32 reduction order differs (2-row shards vs the whole
+        # batch) — same tolerance as the in-process mesh tests
+        np.testing.assert_allclose(out1["ee_pose"], pose, atol=1e-2)
+        np.testing.assert_array_equal(out1["kp_found"], found)
