@@ -25,6 +25,7 @@ KERNEL_SUITES = [
     "tests/test_conv_q8.py",
     "tests/test_conv_vjp.py",
     "tests/test_rank_pallas.py",
+    "tests/test_sort_pallas.py",
     "tests/test_pallas.py",
 ]
 
@@ -33,7 +34,9 @@ def main() -> int:
     env = dict(os.environ)
     env["MRCC_TEST_TPU"] = "1"
     env.pop("JAX_PLATFORMS", None)
-    cmd = [sys.executable, "-m", "pytest", "-x", "-q",
+    # --full: the kernel oracle files are slow-tier modules (skipped by the
+    # fast default); this tier exists precisely to run them, compiled
+    cmd = [sys.executable, "-m", "pytest", "-x", "-q", "--full",
            *KERNEL_SUITES, *sys.argv[1:]]
     print("on-TPU kernel tier:", " ".join(cmd), file=sys.stderr)
     return subprocess.call(cmd, cwd=REPO, env=env)
