@@ -53,6 +53,11 @@ class MinkUNetBase(nn.Module):
     layers: Tuple[int, ...] = (2, 2, 2, 2, 2, 2, 2, 2)
     block: str = "basic"
     init_dim: int = 32
+    # rematerialize residual blocks in the backward pass (jax.checkpoint):
+    # trades recompute for activation memory so the wide flagship (18D,
+    # 384-ch decoder) trains on one 16G chip.  Param tree is unchanged
+    # (lifted transform preserves scopes) — checkpoints stay compatible.
+    remat: bool = False
 
     @property
     def expansion(self) -> int:
@@ -60,8 +65,11 @@ class MinkUNetBase(nn.Module):
 
     def _blocks(self, name, feats, level, planes, reps, train):
         block_cls = BLOCKS[self.block]
+        if self.remat:
+            # static_argnums counts self: (self, feats, level, train) -> 3
+            block_cls = nn.remat(block_cls, static_argnums=(3,))
         for i in range(reps):
-            feats = block_cls(planes, name=f"{name}_{i}")(feats, level, train=train)
+            feats = block_cls(planes, name=f"{name}_{i}")(feats, level, train)
         return feats
 
     @nn.compact
@@ -209,7 +217,8 @@ _PLANES = {
 }
 
 
-def make_minkunet(name: str, in_channels: int, out_channels: int) -> MinkUNetBase:
+def make_minkunet(name: str, in_channels: int, out_channels: int,
+                  remat: bool = False) -> MinkUNetBase:
     """Factory for named variants: 'minkunet18D', 'minkunet14A', 'minkunet34C',
     'minkunet101', or bare 'minkunet' (-> 18D, the reference default)."""
     name = name.lower()
@@ -222,7 +231,8 @@ def make_minkunet(name: str, in_channels: int, out_channels: int) -> MinkUNetBas
     if letter is not None:
         key = base.replace("minkunet", "") + letter if base == "minkunet34" else letter
         cfg["planes"] = _PLANES[key]
-    return MinkUNetBase(in_channels=in_channels, out_channels=out_channels, **cfg)
+    return MinkUNetBase(in_channels=in_channels, out_channels=out_channels,
+                        remat=remat, **cfg)
 
 
 def MinkUNet18D(in_channels, out_channels):

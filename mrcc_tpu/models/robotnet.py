@@ -63,6 +63,7 @@ class RobotNet(nn.Module):
     out_channels: int = 7
     use_joint_angles: bool = False
     rot_dims: int = 4  # 6 = continuous 6D head (opt-in)
+    remat: bool = False  # checkpoint residual blocks (train memory)
 
     @nn.compact
     def __call__(self, feats, levels, joint_angles=None, train: bool = False):
@@ -70,7 +71,7 @@ class RobotNet(nn.Module):
         net = MinkUNetBase(in_channels=self.in_channels,
                            out_channels=self.out_channels,
                            planes=unet.planes, layers=unet.layers,
-                           block=unet.block, name="unet")
+                           block=unet.block, remat=self.remat, name="unet")
         out = net.forward_except_final(feats, levels, train=train)
         out = SparseBatchNorm(name="output_bn")(out, levels[0].valid, train=train)
         out = jax.nn.relu(out)
@@ -96,6 +97,7 @@ class RobotNetEncode(nn.Module):
     voxelize_position: bool = False
     quantization_size: float = 0.01
     rot_dims: int = 4  # 6 = continuous 6D head (opt-in)
+    remat: bool = False  # checkpoint residual blocks (train memory)
 
     @nn.compact
     def __call__(self, feats, levels, joint_angles=None, train: bool = False):
@@ -103,7 +105,7 @@ class RobotNetEncode(nn.Module):
         net = MinkUNetBase(in_channels=self.in_channels,
                            out_channels=self.out_channels,
                            planes=unet.planes, layers=unet.layers,
-                           block=unet.block, name="unet")
+                           block=unet.block, remat=self.remat, name="unet")
         out = net.encode(feats, levels, train=train)
         out = SparseBatchNorm(name="output_bn")(out, levels[4].valid, train=train)
         out = jax.nn.relu(out)
@@ -128,6 +130,7 @@ class RobotNetSegmentation(nn.Module):
     in_channels: int = 3
     num_classes: int = 3
     unet_out_channels: int = 256
+    remat: bool = False  # checkpoint residual blocks (train memory)
 
     @nn.compact
     def __call__(self, feats, levels, joint_angles=None, train: bool = False):
@@ -136,7 +139,7 @@ class RobotNetSegmentation(nn.Module):
         net = MinkUNetBase(in_channels=self.in_channels,
                            out_channels=self.unet_out_channels,
                            planes=unet.planes, layers=unet.layers,
-                           block=unet.block, name="unet")
+                           block=unet.block, remat=self.remat, name="unet")
         out = net(feats, levels, train=train)
         out = jax.nn.leaky_relu(out, negative_slope=0.01)
         out = SparseLinear(1024, name="regression_fc1")(out, levels[0].valid)

@@ -95,13 +95,15 @@ def main():
                       RobotNetSegmentation(backbone="minkunet14A",
                                            in_channels=3, num_classes=3),
                       seg_cfg, seg_batch(seg_cfg, 8), 8192, 8))
-    # 18D at B=8/16k OOMs 16G HBM in the backward (f32 [8,12288,384] temps);
-    # B=4 is the largest 18D train step that fits this chip
+    # 18D at B=8/16k OOMs 16G HBM in the backward (f32 [8,12288,384] temps)
+    # even at B=4; remat=True checkpoints the residual blocks so the
+    # flagship trains on one chip
     if only is None or "seg18" in only:
-        tasks.append(("seg18 B=4/16k cap12288", "seg",
+        tasks.append(("seg18r B=8/16k cap12288", "seg",
                       RobotNetSegmentation(backbone="minkunet",
-                                           in_channels=3, num_classes=3),
-                      seg_cfg, seg_batch(seg_cfg, 4), 12288, 4))
+                                           in_channels=3, num_classes=3,
+                                           remat=True),
+                      seg_cfg, seg_batch(seg_cfg, 8), 12288, 8))
 
     print(f"devices: {jax.devices()}  iters={iters}", flush=True)
     print(f"{'task':26s} {'impl':7s} {'ms/step':>9s} {'items/s':>9s}")
