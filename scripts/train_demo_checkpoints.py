@@ -38,6 +38,10 @@ def main():
     ap.add_argument("--pose-epochs", type=int, default=None,
                     help="epochs for the rotation/keypoint heads "
                          "(default: --epochs)")
+    ap.add_argument("--kp-epochs", type=int, default=None,
+                    help="keypoint-head epochs (default: --pose-epochs; "
+                         "lets a rotation-extension run leave the trained "
+                         "kp checkpoint untouched)")
     ap.add_argument("--rot-6d", action="store_true",
                     help="train the continuous 6D rotation head "
                          "(LossType.COS2_6D) instead of quaternions")
@@ -178,7 +182,8 @@ def main():
     ktrainer = Trainer(kp_model, kp_ds, kstep, kopt, ktc, mesh=mesh,
                        exp_path=f"{args.out}/key_points", exp_name="kp")
     khist = (None if args.bench_only else
-             ktrainer.fit(epochs=args.pose_epochs or args.epochs))
+             ktrainer.fit(epochs=(args.kp_epochs or args.pose_epochs
+                                  or args.epochs)))
     if khist:
         print(f"kp: loss {khist[0]['loss']:.3f} -> {khist[-1]['loss']:.3f} "
               f"({time.time()-t0:.0f}s)", flush=True)
