@@ -71,6 +71,13 @@ class InferenceConfig:
     rot_encode_only: bool = True
     rot_scale: float = 200.0
     rot_center_at_origin: bool = True
+    # conv impl for the ROTATION stage only (None = follow conv_impl,
+    # except 'pallas-int8' demotes rotation to the bf16 kernels: the
+    # measured r4 gate shows int8 seg/kp within noise but the rotation
+    # REGRESSOR degrading ~29% — regression heads are quantization-
+    # sensitive where per-voxel classification is not.  Rotation is
+    # ~13 ms of the ~310 ms pipeline, so bf16 there is free.)
+    rot_conv_impl: typing.Optional[str] = None
     # confidence heads (STRUCTURE.compute_confidence): rotation net emits
     # 10 channels — pose[7] + sigmoid(conf_pos, conf_rot, conf)
     # (robotnet.py:79, utils/loss.py:74-116); the combined head gates
@@ -182,6 +189,14 @@ class InferenceEngine:
                                else "xla")
         else:
             self._conv_impl = cfg.conv_impl
+        rot_impl = cfg.rot_conv_impl
+        if rot_impl is None:
+            rot_impl = ("pallas" if self._conv_impl == "pallas-int8"
+                        else self._conv_impl)
+        elif rot_impl == "auto":
+            rot_impl = ("pallas" if jax.default_backend() == "tpu"
+                        else "xla")
+        self._rot_impl = rot_impl
         self._seg_jit = self._stage_jit(self._seg_stage)
         self._pose_jit = self._stage_jit(self._pose_stage)
         self._kp_jit = self._stage_jit(self._kp_stage)
@@ -389,7 +404,19 @@ class InferenceEngine:
     def _pose_stage(self, params, ee_pts, ee_rgb, ee_valid,
                     mutable_q8=False):
         """Rotation net + magic translation (predict_rotation :437 +
-        predict_translation :459)."""
+        predict_translation :459).
+
+        Traced under ``self._rot_impl`` (nested impl context overrides the
+        engine-wide one): under 'pallas-int8' the rotation regressor stays
+        on the bf16 kernels — see InferenceConfig.rot_conv_impl."""
+        from ..sparse.conv import conv_impl as _rot_ctx
+
+        with _rot_ctx(self._rot_impl):
+            return self._pose_stage_impl(params, ee_pts, ee_rgb, ee_valid,
+                                         mutable_q8=mutable_q8)
+
+    def _pose_stage_impl(self, params, ee_pts, ee_rgb, ee_valid,
+                         mutable_q8=False):
         cfg = self.cfg
         if cfg.rot_center_at_origin:
             rot_pts, _ = center_at_origin(ee_pts, mask=ee_valid)

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .impl import current as _current_impl
+from .sorting import argsort_keys
 from .types import COORD_BITS, COORD_RANGE, KEY_PAD, SparseVoxels, pack_key, unpack_key
 
 # Offset enumeration orders (static numpy, baked into the jit program).
@@ -152,15 +153,24 @@ def _neighbor_table_one(off, key, valid, offsets):
     return idx, hit  # [K, N], [K, N]
 
 
-def _downsample_one(off, key, valid, capacity, stride=2):
-    """Unique parent voxels (stride-s floor division) for one item.
+def _downsample_sort(off, valid, stride=2):
+    """Batched parent-key sort for a stride-s downsample: [B, N] keys ->
+    (sorted keys, permutation) via the impl-dispatched argsort."""
+    p_key = jnp.where(valid, pack_key(off // stride), KEY_PAD)
+    return argsort_keys(p_key)
+
+
+def _downsample_one(off, valid, skey, order, capacity, stride=2):
+    """Unique parent voxels (stride-s floor division) for one item, over a
+    presorted parent-key permutation from :func:`_downsample_sort`.
 
     Returns (parent SparseVoxels-like fields, parent_idx [N], octant [N]).
 
     ONE argsort does everything: the sorted run index of each child's
     parent key IS its parent's slot in the unique set, scattered back
     through the sort permutation — no second searchsorted (sorts are the
-    dominant cost of hierarchy construction on TPU).
+    dominant cost of hierarchy construction on TPU; the batched sort is
+    hoisted out of the vmap so the Pallas bitonic kernel can carry it).
 
     NOTE a sort-free variant (run-ids straight off ``p_key``) is
     INCORRECT: per-field floor division does not preserve the
@@ -171,11 +181,6 @@ def _downsample_one(off, key, valid, capacity, stride=2):
     deep levels.
     """
     n = off.shape[0]
-    p_off = off // stride
-    p_key = jnp.where(valid, pack_key(p_off), KEY_PAD)
-
-    order = jnp.argsort(p_key)
-    skey = p_key[order]
     first = jnp.concatenate([jnp.ones((1,), bool), skey[1:] != skey[:-1]])
     run_id = jnp.cumsum(first) - 1
     ok = (skey < KEY_PAD) & (run_id < capacity)
@@ -284,9 +289,10 @@ def build_hierarchy(voxels: SparseVoxels, depth: int,
                 count=voxels.count)
     for l in range(depth):
         cap = capacities[l]
+        skey, order = _downsample_sort(cur.off, cur.valid)
         uoff, ukey, uvalid, ucount, parent_idx, parent_ok, octant = jax.vmap(
             partial(_downsample_one, capacity=cap)
-        )(cur.off, cur.key, cur.valid)
+        )(cur.off, cur.valid, skey, order)
         child_idx, child_hit, child_tiled = _child_tables(
             uoff, ukey, uvalid, cur.key, K2_OFFSETS)
         up_tiled = None
@@ -332,9 +338,10 @@ def downsample_level(level: Level, capacity: int, stride: int = 2,
          for dz in range(-(kernel_size // 2), kernel_size // 2 + 1)],
         dtype=np.int32,
     )
+    skey, order = _downsample_sort(level.off, level.valid, stride=stride)
     uoff, ukey, uvalid, ucount, parent_idx, parent_ok, octant = jax.vmap(
         partial(_downsample_one, capacity=capacity, stride=stride)
-    )(level.off, level.key, level.valid)
+    )(level.off, level.valid, skey, order)
     child_idx, child_hit, child_tiled = _child_tables(
         uoff, ukey, uvalid, level.key, offsets, stride=stride)
     up_tiled = None

@@ -23,6 +23,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from .sorting import argsort_keys
 from .types import (
     COORD_OFFSET,
     COORD_RANGE,
@@ -33,18 +34,13 @@ from .types import (
 )
 
 
-def _voxelize_one(points, feats, labels, mask, quantization_size, capacity,
-                  ignore_label):
-    """Single-item voxelization. points [P,3], feats [P,C], labels [P] or None."""
-    p = points.shape[0]
-    coords = jnp.floor(points / quantization_size).astype(jnp.int32)
-    off = coords + COORD_OFFSET
-    in_range = jnp.all((off >= 0) & (off < COORD_RANGE), axis=-1)
-    ok = in_range & mask
-    key = jnp.where(ok, pack_key(off), KEY_PAD)
+def _voxelize_one(feats, labels, skey, order, capacity, ignore_label):
+    """Single-item voxelization over presorted keys.
 
-    order = jnp.argsort(key)
-    skey = key[order]
+    ``skey``/``order`` come from the batched impl-dispatched argsort
+    (sparse/sorting.py) hoisted out of the vmap — the Pallas bitonic
+    kernel runs once over [B, P] instead of per item."""
+    p = skey.shape[0]
     sfeats = feats[order]
 
     first = jnp.concatenate([jnp.ones((1,), bool), skey[1:] != skey[:-1]])
@@ -103,16 +99,23 @@ def voxelize(points, feats, mask, quantization_size, capacity,
     """
     if labels is None:
         labels = jnp.zeros(points.shape[:2], jnp.int32) if with_labels else None
+    coords = jnp.floor(points / quantization_size).astype(jnp.int32)
+    off = coords + COORD_OFFSET
+    in_range = jnp.all((off >= 0) & (off < COORD_RANGE), axis=-1)
+    ok = in_range & mask
+    key = jnp.where(ok, pack_key(off), KEY_PAD)
+    skey, order = argsort_keys(key)
+
     fn = partial(
         _voxelize_one,
-        quantization_size=quantization_size,
         capacity=capacity,
         ignore_label=ignore_label,
     )
     if labels is None:
-        vox, pv, _ = jax.vmap(lambda p, f, m: fn(p, f, None, m))(points, feats, mask)
+        vox, pv, _ = jax.vmap(lambda f, sk, o: fn(f, None, sk, o))(
+            feats, skey, order)
         return vox, pv, None
-    vox, pv, lab = jax.vmap(fn)(points, feats, labels, mask)
+    vox, pv, lab = jax.vmap(fn)(feats, labels, skey, order)
     return vox, pv, lab
 
 

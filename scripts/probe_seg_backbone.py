@@ -61,9 +61,13 @@ def main():
 
     rows = {}
     for backbone in backbones:
+        # the wide 18-layer nets (384/256-ch decoders) exceed HBM in the
+        # backward without rematerialized blocks — remat is the flagship
+        # training configuration on one chip
+        remat = backbone in ("minkunet", "minkunet18", "minkunet18d")
         model = RobotNetSegmentation(backbone=backbone, in_channels=3,
-                                     num_classes=3)
-        row = {"backbone": backbone, "epochs": epochs}
+                                     num_classes=3, remat=remat)
+        row = {"backbone": backbone, "epochs": epochs, "remat": remat}
         for bsz in (batch, batch // 2, batch // 4):
             tc = TrainConfig(lr=1e-3, batch_size=bsz, epochs=epochs,
                              save_freq=max(epochs // 2, 1), conv_impl="auto")
@@ -84,10 +88,13 @@ def main():
                 break
             except Exception as e:  # noqa: BLE001 — OOM -> halve the batch
                 msg = str(e).splitlines()[0][:120]
-                print(f"{backbone} B={bsz} failed ({msg}); retrying at "
-                      f"B={bsz // 2}", flush=True)
                 if bsz == batch // 4:
                     row["error"] = msg
+                    print(f"{backbone} B={bsz} failed ({msg}); giving up",
+                          flush=True)
+                else:
+                    print(f"{backbone} B={bsz} failed ({msg}); retrying at "
+                          f"B={bsz // 2}", flush=True)
         if "error" in row:
             rows[backbone] = row
             continue
@@ -96,7 +103,7 @@ def main():
                      "batch_stats": trainer.state.batch_stats}
         res = evaluate_segmentation(model, variables, held_ds,
                                     voxel_capacity=12288, batch_size=4)
-        row["heldout"] = {k: round(res["overall"][k]["Avg"], 4)
+        row["heldout"] = {k: round(res["overall"][k]["avg"], 4)
                           for k in ("accuracy", "precision", "recall")}
         row["heldout_ee"] = {
             k: round(float(np.mean([r["class_results"]["ee"][k]
