@@ -62,8 +62,10 @@ def main():
         off, key, valid = vox.off, vox.key, vox.valid
         for l in range(4):
             cap = caps[l + 1]
+            skey, order = H._downsample_sort(off, valid)
             uoff, ukey, uvalid, ucount, pidx, pok, octant = jax.vmap(
-                partial(H._downsample_one, capacity=cap))(off, key, valid)
+                partial(H._downsample_one, capacity=cap))(off, valid,
+                                                          skey, order)
             if with_child:
                 cidx, chit, ctiled = H._child_tables(uoff, ukey, uvalid,
                                                      key, H.K2_OFFSETS)
