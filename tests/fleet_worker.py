@@ -49,6 +49,20 @@ def main():
     mesh = fleet.make_global_mesh()
     assert mesh.devices.size == 4, mesh.devices
 
+    # Establish the cross-process (gloo) collective context NOW, while the
+    # workers are seconds apart: on a 1-core box the heavy engine compiles
+    # serialize across processes, and gloo context init has a 30 s
+    # deadline — entering the first collective minutes apart kills the
+    # run.  A tiny replicated-sum of a globalized array forces the
+    # rendezvous cheaply; the heavy program then reuses the warm channels.
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    warm = fleet.globalize(mesh, np.full((2, 1), 1.0 + rank, np.float32))[0]
+    total = jax.jit(jnp.sum,
+                    out_shardings=NamedSharding(mesh, PartitionSpec()))(warm)
+    assert float(total) == 6.0, float(total)  # 2 rows of 1.0 + 2 of 2.0
+
     from test_multichip import build_batch, small_cfg  # noqa: E402
 
     from mrcc_tpu.app import InferenceEngine  # noqa: E402
