@@ -195,11 +195,15 @@ def main():
         icp_template_points=1024,
         # BENCH_IMPL=pallas-int8 measures the quantized inference route
         conv_impl=os.environ.get("BENCH_IMPL", "auto"),
-        # BENCH_SEG_BACKBONE=minkunet18 measures the default-PLANES decoder
-        # (the model-level lever: 18D's 384-wide decoder is ~76% of U-Net
-        # time; reference default PLANES is (...,256,128,96,96),
-        # model/backbone/minkunet.py:40-44)
-        seg_backbone=os.environ.get("BENCH_SEG_BACKBONE", "minkunet"),
+        # default: the round-4 backbone study's Pareto choice — default-
+        # PLANES minkunet18 matches/beats the trained accuracy of every
+        # single-chip-trainable config (held-out 0.9933 vs 14A's 0.9921;
+        # results/seg_backbone_study.json) at 1.60x the 18D pipeline
+        # (35.4 vs 22.1 clouds/s).  BENCH_SEG_BACKBONE=minkunet restores
+        # the reference's 18D (its 384-wide decoder was never an
+        # accuracy-validated choice; reference default PLANES is
+        # (...,256,128,96,96), model/backbone/minkunet.py:40-44).
+        seg_backbone=os.environ.get("BENCH_SEG_BACKBONE", "minkunet18"),
     )
     engine = InferenceEngine(cfg, seed=0)
     if engine._conv_impl == "pallas-int8":
