@@ -204,6 +204,8 @@ def main():
         # accuracy-validated choice; reference default PLANES is
         # (...,256,128,96,96), model/backbone/minkunet.py:40-44).
         seg_backbone=os.environ.get("BENCH_SEG_BACKBONE", "minkunet18"),
+        rot_backbone=os.environ.get("BENCH_ROT_BACKBONE", "minkunet"),
+        kp_backbone=os.environ.get("BENCH_KP_BACKBONE", "minkunet"),
     )
     engine = InferenceEngine(cfg, seed=0)
     if engine._conv_impl == "pallas-int8":
