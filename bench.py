@@ -205,7 +205,10 @@ def main():
         # (...,256,128,96,96), model/backbone/minkunet.py:40-44).
         seg_backbone=os.environ.get("BENCH_SEG_BACKBONE", "minkunet18"),
         rot_backbone=os.environ.get("BENCH_ROT_BACKBONE", "minkunet"),
-        kp_backbone=os.environ.get("BENCH_KP_BACKBONE", "minkunet"),
+        # engine default (minkunet18): +6.6% pipeline; RobotNetEncode's
+        # rotation path is encoder-only, whose planes are IDENTICAL
+        # between 18 and 18D — rot_backbone has no 18-vs-18D distinction
+        kp_backbone=os.environ.get("BENCH_KP_BACKBONE", "minkunet18"),
     )
     engine = InferenceEngine(cfg, seed=0)
     if engine._conv_impl == "pallas-int8":

@@ -90,7 +90,12 @@ class InferenceConfig:
     compute_confidence: bool = False
     confidence_threshold: float = 0.5
 
-    kp_backbone: str = "minkunet"         # sparse path; 'pointnet2' = dense
+    # sparse path; 'pointnet2' = dense.  Default follows the seg-backbone
+    # study: keypoint heads are the same per-voxel classification family
+    # (the int8 gate showed them MORE robust than seg), and the trained
+    # demo's kp accuracy was produced by the still-cheaper 14A; the c384
+    # decoder buys nothing measurable (+6.6% pipeline from this flip).
+    kp_backbone: str = "minkunet18"
     kp_scale: float = 800.0
     kp_center_at_origin: bool = True
     kp_conf_threshold: float = 0.75

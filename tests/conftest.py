@@ -31,7 +31,15 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 # pytest is an entry point: reuse compiled programs across runs (the heavy
-# interpret-mode conv-oracle compiles dominate suite wall time)
+# interpret-mode conv-oracle compiles dominate suite wall time).  CPU runs
+# get their OWN cache directory: the default dir is shared with the
+# remote-compiled TPU world, whose machine has AMX/prefer-no-gather —
+# loading its XLA:CPU AOT entries on this host can SIGILL (observed as a
+# fatal native crash mid-suite; cpu_aot_loader warns about exactly this).
+if not os.environ.get("MRCC_TEST_TPU"):
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.expanduser("~/.cache/mrcc_jax_cpu"))
 mrcc_tpu.enable_compilation_cache()
 
 

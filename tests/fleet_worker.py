@@ -23,6 +23,9 @@ _flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
           if "xla_force_host_platform_device_count" not in f]
 os.environ["XLA_FLAGS"] = " ".join(
     _flags + ["--xla_force_host_platform_device_count=2"])
+# CPU-only compile cache (see tests/conftest.py: foreign AOT SIGILL risk)
+os.environ["JAX_COMPILATION_CACHE_DIR"] = os.path.expanduser(
+    "~/.cache/mrcc_jax_cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
