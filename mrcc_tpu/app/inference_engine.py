@@ -121,6 +121,11 @@ class InferenceConfig:
     # (geometry.transform.rot6d_to_quat); default keeps the reference's
     # quaternion head (robotnet.py:79-83)
     rot_6d: bool = False
+    # opt-in robust translation (ROADMAP r5 #3): p-th percentile of the
+    # rotated-frame z instead of the reference's hard min (the "magic"
+    # point, inference_engine.py:459-489) — None preserves the quirk;
+    # a stray mislabeled EE voxel moves a hard min by centimetres
+    translation_z_percentile: typing.Optional[float] = None
     compute_dtype: str = "bfloat16"  # conv-path compute (f32 accumulation)
     # sparse-conv implementation: 'auto' = Pallas windowed gather-GEMM on
     # TPU (ops/conv_pallas.py), XLA gathers elsewhere; or force
@@ -453,7 +458,9 @@ class InferenceEngine:
         else:
             q = rot_out[:, 3:7]
             conf_off = 7
-        pos, _ = jax.vmap(predict_translation)(ee_pts, ee_valid, q)
+        pos, _ = jax.vmap(partial(
+            predict_translation,
+            z_percentile=cfg.translation_z_percentile))(ee_pts, ee_valid, q)
         # confidences (already sigmoided by the model head) or ones
         if rot_out.shape[-1] > conf_off:
             conf = rot_out[:, conf_off:conf_off + 3]

@@ -233,6 +233,30 @@ class TestVoteAndTranslation:
         np.testing.assert_allclose(pos[1], c[1], atol=1e-5)
         np.testing.assert_allclose(pos[2], pts[:, 2].min(), atol=1e-5)
 
+    def test_translation_percentile_z_robust(self, rng):
+        # ROADMAP r5 #3: one stray voxel 10 cm below the gripper moves the
+        # hard min by 10 cm; the percentile variant stays on the body
+        pts = rng.uniform(-0.05, 0.05, size=(511, 3)).astype(np.float32)
+        stray = np.array([[0.0, 0.0, -0.15]], np.float32)
+        all_pts = np.concatenate([pts, stray])
+        q = jnp.asarray([1.0, 0, 0, 0], jnp.float32)
+        mask = jnp.ones(512, bool)
+        pos_min, _ = predict_translation(jnp.asarray(all_pts), mask, q)
+        pos_pct, _ = predict_translation(jnp.asarray(all_pts), mask, q,
+                                         z_percentile=2.0)
+        # min-z path follows the stray; percentile ignores it
+        np.testing.assert_allclose(np.asarray(pos_min)[2], -0.15, atol=1e-5)
+        z = np.sort(all_pts[:, 2])
+        want = z[int(round(0.02 * 511))]
+        np.testing.assert_allclose(np.asarray(pos_pct)[2], want, atol=1e-5)
+        # padding never enters the percentile
+        padded = np.concatenate([all_pts,
+                                 np.full((512, 3), 99.0, np.float32)])
+        m2 = jnp.concatenate([mask, jnp.zeros(512, bool)])
+        pos_pad, _ = predict_translation(jnp.asarray(padded), m2, q,
+                                         z_percentile=2.0)
+        np.testing.assert_allclose(np.asarray(pos_pad)[2], want, atol=1e-5)
+
 
 class TestClusterProductionScale:
     """VERDICT r2 #8: production EE crops exceed 4096 points — the engine's
