@@ -31,6 +31,7 @@ from ..geometry.preprocess import center_at_origin, normalize_colors
 from ..models import RobotNetEncode, RobotNetSegmentation
 from ..solve import (
     default_template,
+    disambiguate_flip,
     icp_refine,
     key_point_predictions,
     largest_cluster_mask,
@@ -121,6 +122,12 @@ class InferenceConfig:
     # (geometry.transform.rot6d_to_quat); default keeps the reference's
     # quaternion head (robotnet.py:79-83)
     rot_6d: bool = False
+    # opt-in test-time gripper-symmetry flip disambiguation (ROADMAP r5
+    # #2): when the keypoint Kabsch pose (whose classes are NOT symmetric)
+    # says the rotation regressor picked the wrong 180°-about-z branch,
+    # flip it and recompute the magic translation (solve/symmetry.py)
+    rot_flip_disambiguation: bool = False
+    rot_symmetry_axis: str = "z"
     # opt-in robust translation (ROADMAP r5 #3): p-th percentile of the
     # rotated-frame z instead of the reference's hard min (the "magic"
     # point, inference_engine.py:459-489) — None preserves the quirk;
@@ -216,6 +223,7 @@ class InferenceEngine:
         self._pose_jit = self._stage_jit(self._pose_stage)
         self._kp_jit = self._stage_jit(self._kp_stage)
         self._icp_jit = self._stage_jit(self._icp_stage, with_impl=False)
+        self._flip_jit = self._stage_jit(self._flip_stage, with_impl=False)
         # the throughput path: seg -> pose -> kp -> 2x ICP as ONE program
         # (ROADMAP #4 — stage dispatch costs 1.3-2.5 ms/call on this
         # runtime; the reference runs seven separate GPU/CPU stages)
@@ -554,6 +562,17 @@ class InferenceEngine:
         out = (kp_pose, kp_ok, kp_coords, kp_found, kp_conf)
         return out + (q8_upd,) if mutable_q8 else out
 
+    def _flip_stage(self, _unused, ee_pose, kp_pose, kp_ok, ee_pts,
+                    ee_valid):
+        """Opt-in gripper-symmetry disambiguation (solve/symmetry.py):
+        batched over items; params slot unused (stage signature parity)."""
+        cfg = self.cfg
+        fixed, _ = jax.vmap(partial(
+            disambiguate_flip, axis=cfg.rot_symmetry_axis,
+            z_percentile=cfg.translation_z_percentile))(
+                ee_pose, kp_pose, kp_ok, ee_pts, ee_valid)
+        return fixed
+
     def _icp_stage(self, template, ee_pts, ee_valid, ee_pose, kp_pose):
         """Both ICP refinements (:358-361)."""
         refine = jax.vmap(
@@ -576,6 +595,9 @@ class InferenceEngine:
                                              ee_rgb, ee_valid)
         kp_pose, kp_ok, kp_coords, kp_found, kp_conf = self._kp_stage(
             params["key_points"], ee_pts, ee_rgb, ee_valid)
+        if self.cfg.rot_flip_disambiguation:
+            ee_pose = self._flip_stage(None, ee_pose, kp_pose, kp_ok,
+                                       ee_pts, ee_valid)
         if self.cfg.icp_enabled:
             ee_pose, kp_pose = self._icp_stage(
                 bundle["template"], ee_pts, ee_valid, ee_pose, kp_pose)
@@ -628,6 +650,9 @@ class InferenceEngine:
                                                ee_rgb, ee_valid)
             kp_pose, kp_ok, kp_coords, kp_found, kp_conf = self._kp_jit(
                 params["key_points"], ee_pts, ee_rgb, ee_valid)
+            if self.cfg.rot_flip_disambiguation:
+                ee_pose = self._flip_jit(None, ee_pose, kp_pose, kp_ok,
+                                         ee_pts, ee_valid)
             if self.cfg.icp_enabled:
                 ee_pose, kp_pose = self._icp_jit(
                     bundle["template"], ee_pts, ee_valid, ee_pose, kp_pose)

@@ -203,3 +203,55 @@ class TestConfidenceHeads:
                                    jnp.zeros((1, 128, 3)), valid)
         assert pose.shape == (1, 7) and conf.shape == (1, 3)
         assert (np.asarray(conf) >= 0).all() and (np.asarray(conf) <= 1).all()
+
+
+class TestFlipDisambiguation:
+    """Opt-in gripper-symmetry flip stage (ROADMAP r5 #2)."""
+
+    def _cfg(self):
+        from mrcc_tpu.app import InferenceConfig
+
+        return InferenceConfig(
+            point_capacity=1024, seg_voxel_capacity=256,
+            ee_point_capacity=128, ee_voxel_capacity=128,
+            kp_voxel_capacity=128, seg_backbone="minkunet14A",
+            rot_backbone="minkunet14A", kp_backbone="minkunet14A",
+            icp_iterations=2, icp_template_points=128,
+            rot_flip_disambiguation=True)
+
+    def test_flip_stage_jit(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from mrcc_tpu.app import InferenceEngine
+        from mrcc_tpu.geometry.quaternion import qmul
+
+        eng = InferenceEngine(self._cfg(), seed=0)
+        q_gt = jnp.asarray([1.0, 0, 0, 0], jnp.float32)
+        q_wrong = qmul(q_gt, jnp.asarray([0.0, 0, 0, 1]))
+        pts = jnp.zeros((1, 128, 3)).at[0, :, 1].set(
+            jnp.linspace(0, 0.2, 128))
+        valid = jnp.ones((1, 128), bool)
+        ee_pose = jnp.concatenate([jnp.zeros(3), q_wrong])[None]
+        kp_pose = jnp.concatenate([jnp.zeros(3), q_gt])[None]
+        fixed = eng._flip_jit(None, ee_pose, kp_pose,
+                              jnp.asarray([True]), pts, valid)
+        # flipped onto the kp branch (sign-invariant)
+        d = abs(float(jnp.sum(fixed[0, 3:7] * q_gt)))
+        assert d > 0.999
+
+    def test_full_pipeline_traces_with_flip(self):
+        """The fused (TPU) program includes the flip stage — validate the
+        wiring by abstract tracing (no compile)."""
+        import jax
+        import jax.numpy as jnp
+
+        from mrcc_tpu.app import InferenceEngine
+
+        eng = InferenceEngine(self._cfg(), seed=0)
+        bundle = {"params": eng.params, "template": eng.template}
+        pts = jnp.zeros((1, 1024, 3))
+        rgb = jnp.zeros((1, 1024, 3))
+        mask = jnp.ones((1, 1024), bool)
+        out = jax.eval_shape(eng._full_pipeline, bundle, pts, rgb, mask)
+        assert out["ee_pose"].shape == (1, 7)

@@ -258,6 +258,64 @@ class TestVoteAndTranslation:
         np.testing.assert_allclose(np.asarray(pos_pad)[2], want, atol=1e-5)
 
 
+class TestSymmetryFlip:
+    """ROADMAP r5 #2: keypoint-guided gripper-symmetry disambiguation."""
+
+    def _setup(self, rng):
+        from mrcc_tpu.geometry.quaternion import qmul
+
+        ang = np.deg2rad(30)
+        q_gt = np.array([np.cos(ang / 2), np.sin(ang / 2), 0, 0], np.float32)
+        zflip = np.array([0, 0, 0, 1], np.float32)
+        q_wrong = np.asarray(qmul(jnp.asarray(q_gt), jnp.asarray(zflip)))
+        pts = rng.uniform(-0.05, 0.05, size=(256, 3)).astype(np.float32)
+        pts[:, 0] += 0.3  # asymmetric crop: flip changes the magic point
+        return q_gt, q_wrong, jnp.asarray(pts), jnp.ones(256, bool)
+
+    def test_flip_corrected(self, rng):
+        from mrcc_tpu.solve.symmetry import _quat_angle, disambiguate_flip
+
+        q_gt, q_wrong, pts, mask = self._setup(rng)
+        pos_w, _ = predict_translation(pts, mask, jnp.asarray(q_wrong))
+        ee_pose = jnp.concatenate([pos_w, jnp.asarray(q_wrong)])
+        kp_pose = jnp.concatenate([pos_w, jnp.asarray(q_gt)])
+        out, flipped = disambiguate_flip(ee_pose, kp_pose,
+                                         jnp.asarray(True), pts, mask)
+        assert bool(flipped)
+        assert float(_quat_angle(out[3:7], jnp.asarray(q_gt))) < 1e-4
+        # translation recomputed under the corrected orientation
+        pos_c, _ = predict_translation(pts, mask, out[3:7])
+        np.testing.assert_allclose(np.asarray(out[:3]), np.asarray(pos_c),
+                                   atol=1e-6)
+        assert not np.allclose(np.asarray(out[:3]), np.asarray(pos_w),
+                               atol=1e-4)
+
+    def test_correct_pose_untouched(self, rng):
+        from mrcc_tpu.solve.symmetry import disambiguate_flip
+
+        q_gt, _, pts, mask = self._setup(rng)
+        pos, _ = predict_translation(pts, mask, jnp.asarray(q_gt))
+        ee_pose = jnp.concatenate([pos, jnp.asarray(q_gt)])
+        out, flipped = disambiguate_flip(ee_pose, ee_pose,
+                                         jnp.asarray(True), pts, mask)
+        assert not bool(flipped)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ee_pose),
+                                   atol=1e-6)
+
+    def test_kp_not_ok_keeps_nn_pose(self, rng):
+        from mrcc_tpu.solve.symmetry import disambiguate_flip
+
+        q_gt, q_wrong, pts, mask = self._setup(rng)
+        pos_w, _ = predict_translation(pts, mask, jnp.asarray(q_wrong))
+        ee_pose = jnp.concatenate([pos_w, jnp.asarray(q_wrong)])
+        kp_pose = jnp.concatenate([pos_w, jnp.asarray(q_gt)])
+        out, flipped = disambiguate_flip(ee_pose, kp_pose,
+                                         jnp.asarray(False), pts, mask)
+        assert not bool(flipped)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ee_pose),
+                                   atol=1e-6)
+
+
 class TestClusterProductionScale:
     """VERDICT r2 #8: production EE crops exceed 4096 points — the engine's
     cluster capacity now scales with the crop (cluster_capacity())."""
