@@ -219,13 +219,21 @@ def rank_lookup(keys, qbase, deltas, qvalid, t=None, w=None,
     nt = nq // t
     kp = max(8, -(-k // 8) * 8)
 
-    # small boundary searchsorted: ranks of each tile's first query
+    # small boundary lookup: ranks of each tile's first query.  Two
+    # formulations with a size gate (measured, scripts/probe_k3_pieces.py):
+    # a broadcast compare-count is 1.6x faster at pipeline scale (2.18 vs
+    # 3.59 ms for all 5 levels) but is O(K*nt*N) — quadratic in N — so
+    # production-scale tables (72k voxels) keep the O(N log N) sort path.
     qb = qbase[:, ::t]                                        # [B, nt]
     deltas_arr = jnp.asarray(deltas, jnp.int32)
     queries = (qb[None, :, :] + deltas_arr[:, None, None])    # [K, B, nt]
     flat_q = queries.transpose(1, 0, 2).reshape(b, k * nt)
-    ranks = jax.vmap(lambda ky, qq: jnp.searchsorted(
-        ky, qq, side="left", method="sort"))(keys, flat_q)
+    if k * nt * n <= (1 << 28):
+        ranks = (keys[:, None, :] < flat_q[:, :, None]).sum(
+            axis=-1, dtype=jnp.int32)
+    else:
+        ranks = jax.vmap(lambda ky, qq: jnp.searchsorted(
+            ky, qq, side="left", method="sort"))(keys, flat_q)
     ranks = ranks.reshape(b, k, nt).transpose(1, 0, 2).astype(jnp.int32)
 
     ends = jnp.concatenate([ranks[:, :, 1:],
@@ -290,15 +298,42 @@ def rank_lookup(keys, qbase, deltas, qvalid, t=None, w=None,
     return idx, hit
 
 
+def _border_qvalid(off, valid, offsets, scaled=1):
+    """[K, B, N] query validity from six per-axis border masks.
+
+    Equivalent to ``all(0 <= off*scaled + d < COORD_RANGE)`` & valid, but
+    built from [B, N]-shaped masks: the direct [K, B, N, 3] broadcast has a
+    minor dim of 3, which TPU layouts pad to 128 lanes — measured 3.9 ms of
+    the 35 ms k3 table build at B=8/16k (scripts/probe_k3_pieces.py)."""
+    offsets = np.asarray(offsets)
+    ax = [off[..., i] * scaled for i in range(3)]             # [B, N] each
+    d_lo = int(offsets.min())
+    d_hi = int(offsets.max())
+    # per-axis masks for every distinct negative/positive delta magnitude
+    lo = {(i, d): ax[i] >= -d for i in range(3)
+          for d in range(d_lo, 0)}
+    hi = {(i, d): ax[i] < COORD_RANGE - d for i in range(3)
+          for d in range(1, d_hi + 1)}
+    cols = []
+    for k_off in offsets:
+        m = valid
+        for i in range(3):
+            d = int(k_off[i])
+            if d < 0:
+                m = m & lo[(i, d)]
+            elif d > 0:
+                m = m & hi[(i, d)]
+        cols.append(m)
+    return jnp.stack(cols, axis=0)                            # [K, B, N]
+
+
 def neighbor_tables(off, key, valid, offsets, t=None, w=None,
                     return_tiled=False):
     """k=3 s=1 neighbour tables, batched (replaces vmapped
     ``_neighbor_table_one``): (idx [K, B, N], hit [K, B, N][, tiled])."""
     offsets = np.asarray(offsets)
     deltas = pack_deltas(offsets)
-    off_q = off[None] + jnp.asarray(offsets)[:, None, None, :]
-    in_range = jnp.all((off_q >= 0) & (off_q < COORD_RANGE), axis=-1)
-    qvalid = valid[None] & in_range
+    qvalid = _border_qvalid(off, valid, offsets)
     return rank_lookup(key, key, deltas, qvalid, t=t, w=w,
                        return_tiled=return_tiled)
 
@@ -313,8 +348,6 @@ def child_tables(parent_off, parent_key, parent_valid, child_key, offsets,
     shift = int(np.log2(stride))
     assert (1 << shift) == stride, "stride must be a power of two"
     qbase = jnp.where(parent_valid, parent_key << shift, KEY_PAD)
-    off_q = (parent_off * stride)[None] + jnp.asarray(offsets)[:, None, None, :]
-    in_range = jnp.all((off_q >= 0) & (off_q < COORD_RANGE), axis=-1)
-    qvalid = parent_valid[None] & in_range
+    qvalid = _border_qvalid(parent_off, parent_valid, offsets, scaled=stride)
     return rank_lookup(child_key, qbase, deltas, qvalid, t=t, w=w,
                        return_tiled=return_tiled)

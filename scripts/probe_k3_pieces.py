@@ -74,9 +74,10 @@ def main():
     print("level sizes:", [d[1].shape for d in lvl_data], flush=True)
 
     def qvalid_for(off, valid):
-        off_q = off[None] + jnp.asarray(offsets)[:, None, None, :]
-        in_range = jnp.all((off_q >= 0) & (off_q < COORD_RANGE), axis=-1)
-        return valid[None] & in_range
+        # the library's six-mask build (the [K, B, N, 3] broadcast this
+        # replaced measured 3.9 ms standalone; fused in-program the win
+        # is smaller — see the tables rows)
+        return R._border_qvalid(off, valid, offsets)
 
     def boundary_only(off, key, valid):
         n = key.shape[1]

@@ -71,6 +71,34 @@ class TestNeighborTables:
         np.testing.assert_array_equal(np.asarray(got_idx)[h],
                                       np.asarray(want_idx)[h])
 
+    def test_k3_coordinate_borders(self, rng):
+        # border voxels (coords at 0 and COORD_RANGE-1): the six-mask
+        # qvalid build (_border_qvalid) must reject out-of-window queries
+        # exactly like the oracle's per-query in_range check — an
+        # arithmetic-key query across the border aliases a DIFFERENT
+        # valid-looking coordinate (e.g. (x, 0, z) - dy lands on
+        # (x-1, 1023, z)), so a wrong mask silently corrupts tables
+        coords = rng.integers(0, 4, size=(600, 3))
+        coords[100:200] += 1020             # cluster at the high corner
+        coords[200:300, 0] = 0              # x == 0 plane
+        coords[300:400, 1] = 1023           # y == max plane
+        uniq = np.unique(coords[:, 0] * (1 << 20) + coords[:, 1] * (1 << 10)
+                         + coords[:, 2])[:128]
+        n = 128
+        key = np.full((1, n), int(KEY_PAD), np.int32)
+        key[0, :len(uniq)] = np.sort(uniq)
+        valid = key < int(KEY_PAD)
+        off = np.stack([(key >> 20) & 1023, (key >> 10) & 1023,
+                        key & 1023], -1) * valid[..., None]
+        off, key, valid = (jnp.asarray(off), jnp.asarray(key),
+                           jnp.asarray(valid))
+        want_idx, want_hit = oracle_neighbors(off, key, valid, K3_OFFSETS)
+        got_idx, got_hit = neighbor_tables(off, key, valid, K3_OFFSETS)
+        h = np.asarray(want_hit)
+        np.testing.assert_array_equal(np.asarray(got_hit), h)
+        np.testing.assert_array_equal(np.asarray(got_idx)[h],
+                                      np.asarray(want_idx)[h])
+
     def test_full_occupancy(self, rng):
         off, key, valid = random_voxels(rng, 2, 128, n_valid=128)
         want_idx, want_hit = oracle_neighbors(off, key, valid, K3_OFFSETS)
