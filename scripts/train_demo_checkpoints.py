@@ -76,6 +76,12 @@ def main():
                          "three checkpoints at their saved epochs and run "
                          "only the held-out benchmark (requires a prior "
                          "full run whose final epochs were checkpointed)")
+    ap.add_argument("--flip-disambiguation", action="store_true",
+                    help="enable the keypoint-guided gripper-symmetry "
+                         "flip stage (solve/symmetry.py, ROADMAP r5 #2)")
+    ap.add_argument("--z-percentile", type=float, default=None,
+                    help="percentile-z translation instead of the "
+                         "reference's hard min-z (ROADMAP r5 #3)")
     ap.add_argument("--json-out", default=None,
                     help="write the held-out benchmark stats table "
                          "(Avg/Min/Max/Med/Std/N per metric) to this path")
@@ -206,6 +212,8 @@ def main():
         kp_backbone=args.backbone, icp_iterations=15, icp_template_points=1024,
         kp_conf_threshold=0.5, conv_impl=args.conv_impl,
         rot_6d=args.rot_6d, compute_confidence=args.confidence,
+        rot_flip_disambiguation=args.flip_disambiguation,
+        translation_z_percentile=args.z_percentile,
         # synthetic EE crops carry ~2048 points; the reference's 2048-point
         # confidence gate would reject everything at ~90% seg recall
         sanity_min_num_of_ee_points=1024)
