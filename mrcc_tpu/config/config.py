@@ -201,6 +201,12 @@ class Config:
                 "min_num_of_ee_points", 2048),
             camera_link_transformation_pose=inf.get(
                 "camera_link_transformation_pose"),
+            # opt-in robustness levers (no reference YAML equivalents;
+            # defaults preserve reference behavior exactly)
+            rot_flip_disambiguation=inf.get("rot_flip_disambiguation",
+                                            False),
+            rot_symmetry_axis=inf.get("rot_symmetry_axis", "z"),
+            translation_z_percentile=inf.get("translation_z_percentile"),
         )
 
 

@@ -151,3 +151,27 @@ class TestOverrideReproductions:
             np.testing.assert_allclose(ckpt_leaves[path],
                                        np.asarray(eng_leaves[path]),
                                        err_msg="/".join(path))
+
+
+class TestRobustnessLeverYaml:
+    """YAML plumbing for the opt-in r5 levers (defaults = reference parity)."""
+
+    def test_inference_lever_keys(self, tmp_path):
+        import yaml as _yaml
+
+        p = tmp_path / "lever.yaml"
+        p.write_text(_yaml.safe_dump({
+            "INFERENCE": {"rot_flip_disambiguation": True,
+                          "rot_symmetry_axis": "z",
+                          "translation_z_percentile": 2.0}}))
+        cfg = Config(override_paths=[str(p)],
+                     exp_path=str(tmp_path / "exp"))
+        icfg = cfg.inference_config()
+        assert icfg.rot_flip_disambiguation is True
+        assert icfg.translation_z_percentile == 2.0
+
+    def test_defaults_preserve_reference_behavior(self, tmp_path):
+        cfg = Config(exp_path=str(tmp_path / "exp"))
+        icfg = cfg.inference_config()
+        assert icfg.rot_flip_disambiguation is False
+        assert icfg.translation_z_percentile is None
