@@ -133,6 +133,11 @@ class InferenceConfig:
     # point, inference_engine.py:459-489) — None preserves the quirk;
     # a stray mislabeled EE voxel moves a hard min by centimetres
     translation_z_percentile: typing.Optional[float] = None
+    # self-keyed k3 convs (no neighbour tables; ops/conv_pallas.py):
+    # skips the rank-kernel table build on every level the gate accepts —
+    # bf16 Pallas inference only (int8 engines keep tables; the bf16
+    # rotation stage of an int8 engine does self-key)
+    k3_self_keyed: bool = False
     compute_dtype: str = "bfloat16"  # conv-path compute (f32 accumulation)
     # sparse-conv implementation: 'auto' = Pallas windowed gather-GEMM on
     # TPU (ops/conv_pallas.py), XLA gathers elsewhere; or force
@@ -388,7 +393,8 @@ class InferenceEngine:
                                 cfg.seg_voxel_capacity)
         slevels = build_hierarchy(
             svox, 4, capacities=self._hierarchy_caps(cfg.seg_voxel_capacity,
-                                                     cfg.seg_hierarchy_caps))
+                                                     cfg.seg_hierarchy_caps),
+            k3_self_keyed=cfg.k3_self_keyed)
         sfeats = svox.feats.astype(jnp.dtype(cfg.compute_dtype))
         if mutable_q8:
             slogits, q8_upd = self._seg_model.apply(
@@ -449,7 +455,8 @@ class InferenceEngine:
                               cfg.ee_voxel_capacity)
         rlevels = build_hierarchy(
             rvox, 4, capacities=self._hierarchy_caps(cfg.ee_voxel_capacity,
-                                                     cfg.ee_hierarchy_caps))
+                                                     cfg.ee_hierarchy_caps),
+            k3_self_keyed=cfg.k3_self_keyed)
         rfeats = rvox.feats.astype(jnp.dtype(cfg.compute_dtype))
         if mutable_q8:
             rot_out, q8_upd = self._rot_model.apply(
@@ -544,7 +551,8 @@ class InferenceEngine:
                                 cfg.kp_voxel_capacity)
         klevels = build_hierarchy(
             kvox, 4, capacities=self._hierarchy_caps(cfg.kp_voxel_capacity,
-                                                     cfg.kp_hierarchy_caps))
+                                                     cfg.kp_hierarchy_caps),
+            k3_self_keyed=cfg.k3_self_keyed)
         kfeats = kvox.feats.astype(jnp.dtype(cfg.compute_dtype))
         if mutable_q8:
             klogits, q8_upd = self._kp_model.apply(

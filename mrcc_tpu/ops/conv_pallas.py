@@ -537,6 +537,219 @@ def _padded_lanes(c: int) -> int:
     return max(128, -(-c // 128) * 128)
 
 
+# ------------------------------------------------------ self-keyed k3 path
+#
+# The k=3 s=1 conv without precomputed neighbour tables (ROADMAP r5 #1).
+# The windowed one-hot of the table path is ``(idx - start) == iota``; but
+# idx itself came from the rank kernel comparing sorted keys against
+# ``key + delta`` — the SAME [T, W] compare.  So the conv can build its
+# one-hot directly from the level's sorted keys:
+#
+#   onehot[i, p] = (window_keys[p] == key_tile[i] + delta_k) & valid_k[i]
+#
+# which removes the per-level rank-kernel table build entirely (~28 ms of
+# the B=8/16k pipeline, scripts/probe_k3_pieces.py) for every UNPACKED k3
+# conv.  Costs vs the table path: key-window lane slices force 128-aligned
+# window starts (W = T + 128 instead of T + 64 -> ~20% more gather FLOPs),
+# and narrow convs (c <= 64) cannot lane-pack (their one-hot would need a
+# sub-row select that requires the rank).  Border validity travels as a
+# per-row 27-bit bitmap (border queries alias real coords across the
+# arithmetic key fields, so the compare alone is not sufficient).
+#
+# Forward-only: training keeps the rank-table path (build_hierarchy
+# default), whose custom VJP is already wired.  Levels whose tables
+# exceed the VMEM budget even at 128 lanes (production scale, > ~20k
+# voxels in bf16) keep the lane-packed table path too.
+
+
+def sk_window(t: int, n: int) -> int:
+    """Self-keyed window width: starts are 128-aligned (key LANE slices),
+    so the slack must absorb up to 127 alignment rows."""
+    n128 = n - (n % 128)
+    return max(128, min(t + 128, n128))
+
+
+def sk_supported(n: int, itemsize: int = 2) -> bool:
+    """Self-keyed route gate: 128-aligned capacities whose 128-lane table
+    fits the VMEM budget without lane packing."""
+    return (n % 128 == 0 and n >= 128
+            and n * 128 * itemsize <= _TABLE_BUDGET
+            and _pick_tile(n) >= 128)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("deltas", "t", "w", "cout", "out_dtype", "identity_k"))
+def _gather_gemm_call_sk(starts, nchunks, keys, kbits, feats, w_grp,
+                         deltas, t, w, cout, out_dtype, identity_k=None):
+    """Self-keyed pallas_call: one channel group (c <= 128 lanes), kg == K.
+
+    keys:  [B, 1, N] int32 sorted per item (KEY_PAD padding).
+    kbits: [B, 1, N] int32 — bit k set iff row's offset-k query is valid
+      (in coordinate range on every axis AND the row itself is valid).
+    starts/nchunks: [K*B*nt] int32 (k-major), window starts 128-ALIGNED.
+    feats: [B, N, C] (C <= 128); w_grp: [1, K*C, Cout].
+    Submanifold: n_out == N (the query tile IS the key tile).
+    """
+    b, n, c = feats.shape
+    k_real = len(deltas)
+    nt = n // t
+    assert _interpret() or (t % 128 == 0 and w % 128 == 0 and n % 128 == 0)
+
+    def kernel(starts_ref, nchunks_ref, keys_ref, kbits_ref, feats_ref,
+               w_ref, out_ref, gall_ref):
+        bi = pl.program_id(0)
+        ti = pl.program_id(1)
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (t, w), 1)
+        qk = keys_ref[0, 0, pl.ds(pl.multiple_of(ti * t, 128), t)]
+        kb = kbits_ref[0, 0, pl.ds(pl.multiple_of(ti * t, 128), t)]
+
+        for j in range(k_real):
+            qv = ((kb >> j) & 1) != 0                        # [T]
+            if identity_k == j:
+                # delta == 0 resolves to the tile's own rows (padding rows
+                # are zero by the sparse-core invariant)
+                rows = feats_ref[0, pl.ds(ti * t, t), :]
+                gall_ref[:, j * c:(j + 1) * c] = jnp.where(
+                    qv[:, None], rows, 0).astype(gall_ref.dtype)
+                continue
+            q = qk + int(deltas[j])
+            flat = (j * pl.num_programs(0) + bi) * nt + ti
+            st = starts_ref[flat]
+            nch = nchunks_ref[flat]
+            wst0 = pl.multiple_of(st, 128)
+            wk = keys_ref[0, 0, pl.ds(wst0, w)]              # [W]
+            oh = (wk[None, :] == q[:, None]) & qv[:, None]
+            window0 = feats_ref[0, pl.ds(wst0, w), :]
+            g = jnp.dot(oh.astype(window0.dtype), window0,
+                        preferred_element_type=jnp.float32)
+
+            def chunk_body(ci, acc, q=q, qv=qv, st=st):
+                # keys are unique, but clamped windows overlap — the
+                # POSITION partition keeps the gather adds disjoint
+                wst = pl.multiple_of(jnp.minimum(st + ci * w, n - w), 128)
+                wkc = keys_ref[0, 0, pl.ds(wst, w)]
+                pos = wst + iota_w[0]                        # [W]
+                seg = ((pos >= st + ci * w)
+                       & (pos < st + (ci + 1) * w))[None, :]
+                ohc = (wkc[None, :] == q[:, None]) & qv[:, None] & seg
+                win = feats_ref[0, pl.ds(wst, w), :]
+                return acc + jnp.dot(ohc.astype(win.dtype), win,
+                                     preferred_element_type=jnp.float32)
+
+            g = jax.lax.fori_loop(1, nch, chunk_body, g)
+            gall_ref[:, j * c:(j + 1) * c] = g.astype(gall_ref.dtype)
+
+        out_ref[0, :, :] = jnp.dot(
+            gall_ref[:, :].astype(w_ref.dtype), w_ref[0],
+            preferred_element_type=jnp.float32).astype(out_ref.dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, nt),
+        in_specs=[
+            pl.BlockSpec((1, 1, n), lambda bi, ti, s1, s2: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n), lambda bi, ti, s1, s2: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, c), lambda bi, ti, s1, s2: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_real * c, cout), lambda bi, ti, s1, s2:
+                         (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, t, cout), lambda bi, ti, s1, s2:
+                               (bi, ti, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((t, k_real * c), feats.dtype)],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, n, cout), out_dtype),
+        grid_spec=grid_spec,
+        interpret=_interpret(),
+    )(starts, nchunks, keys[:, None, :], kbits[:, None, :], feats, w_grp)
+
+
+def build_sk_maps(key, kbits, deltas, t=None, w_width=None):
+    """Per-(offset, item, tile) window scalars for the self-keyed conv.
+
+    key: [B, N] int32 sorted (KEY_PAD padding); kbits: [B, N] int32
+    27-bit query-validity bitmap (see ops/rank_pallas.sk_bits); deltas:
+    static [K] packed key deltas.  Returns (kbits, starts, nchunks) —
+    cache per level, shared by every self-keyed conv on it.
+    """
+    deltas = tuple(int(d) for d in np.asarray(deltas).reshape(-1))
+    k = len(deltas)
+    b, n = key.shape
+    t = t or _pick_tile(n)
+    w = w_width or sk_window(t, n)
+    nt = n // t
+
+    # boundary ranks (rank of each tile's FIRST query per offset) — the
+    # same size-gated compare-count/searchsorted pair as rank_lookup
+    qb = key[:, ::t]                                          # [B, nt]
+    deltas_arr = jnp.asarray(deltas, jnp.int32)
+    queries = qb[None, :, :] + deltas_arr[:, None, None]      # [K, B, nt]
+    flat_q = queries.transpose(1, 0, 2).reshape(b, k * nt)
+    if k * nt * n <= (1 << 28):
+        ranks = (key[:, None, :] < flat_q[:, :, None]).sum(
+            axis=-1, dtype=jnp.int32)
+    else:
+        ranks = jax.vmap(lambda ky, qq: jnp.searchsorted(
+            ky, qq, side="left", method="sort"))(key, flat_q)
+    ranks = ranks.reshape(b, k, nt).transpose(1, 0, 2).astype(jnp.int32)
+    ends = jnp.concatenate([ranks[:, :, 1:],
+                            jnp.full((k, b, 1), n, jnp.int32)], axis=-1)
+    # 128-aligned starts: the kernel slices the key LANE axis at st
+    starts = jnp.clip(ranks - (ranks % 128), 0, max(n - w, 0))
+    span = jnp.maximum(ends - starts, 0)
+    nchunks = jnp.minimum(span // w + 1, -(-n // w))
+    return (kbits.astype(jnp.int32),
+            starts.reshape(-1).astype(jnp.int32),
+            jnp.maximum(nchunks, 1).reshape(-1).astype(jnp.int32))
+
+
+def gather_gemm_conv_sk(feats, weights, key, sk, out_valid, deltas,
+                        bias=None, identity_k=None, w_width=None):
+    """Self-keyed k=3 s=1 conv (no neighbour tables).
+
+    sk: (kbits, starts, nchunks) from :func:`build_sk_maps`.  Channels
+    over 128 lanes run as per-group calls on 128-lane slices (weights
+    stay resident: K*128 = 3456 = _KG_LANES); narrower channels pad to
+    the 128-lane block (physically free in VMEM, K-aligned GEMM).
+    Forward-only — training uses the rank-table path.
+    """
+    kbits, starts, nchunks = sk
+    deltas = tuple(int(d) for d in np.asarray(deltas).reshape(-1))
+    b, n, c = feats.shape
+    k = weights.shape[0]
+    assert k == len(deltas)
+    t = _pick_tile(n)
+    w = w_width or sk_window(t, n)
+    cout = weights.shape[-1]
+
+    c_g = min(_padded_lanes(c), 128)
+    n_cg = -(-c // c_g)
+    c_pad = n_cg * c_g
+    if c_pad > c:
+        feats = jnp.pad(feats, ((0, 0), (0, 0), (0, c_pad - c)))
+        weights = jnp.pad(weights, ((0, 0), (0, c_pad - c), (0, 0)))
+    weights = weights.astype(feats.dtype)
+
+    out = None
+    for cg in range(n_cg):
+        f_sl = feats[:, :, cg * c_g:(cg + 1) * c_g]
+        w_sl = weights[:, cg * c_g:(cg + 1) * c_g, :].reshape(
+            1, k * c_g, cout)
+        contrib = _gather_gemm_call_sk(
+            starts, nchunks, key, kbits, f_sl, w_sl, deltas=deltas,
+            t=t, w=w, cout=cout, out_dtype=feats.dtype,
+            identity_k=identity_k)
+        out = contrib if out is None else out + contrib
+    if bias is not None:
+        out = out + bias.astype(feats.dtype)
+    return jnp.where(out_valid[..., None], out, 0)
+
+
 # ------------------------------------------------------------- int8 path
 #
 # Inference-only quantized route (ROADMAP r2 #5): per-channel symmetric

@@ -327,6 +327,32 @@ def _border_qvalid(off, valid, offsets, scaled=1):
     return jnp.stack(cols, axis=0)                            # [K, B, N]
 
 
+def sk_bits(off, valid, offsets):
+    """Per-row query-validity BITMAP [B, N] int32 for the self-keyed conv
+    (bit k = offset k's query is in coordinate range AND the row is valid).
+
+    Replaces the [K, B, N] qvalid planes: the self-keyed kernel
+    (ops/conv_pallas.py) reads one int32 per row and tests bits in-kernel.
+    Built from the same six per-axis masks as :func:`_border_qvalid`.
+    """
+    cols = _border_qvalid(off, valid, offsets)                # [K, B, N]
+    bits = cols[0].astype(jnp.int32)
+    for k in range(1, cols.shape[0]):
+        bits = bits | (cols[k].astype(jnp.int32) << k)
+    return bits
+
+
+def sk_neighbor_pack(off, key, valid, offsets, t=None, w=None):
+    """Self-keyed k=3 s=1 conv pack for one level: (kbits, starts,
+    nchunks) — no rank kernel, no neighbour tables (see
+    ops/conv_pallas.py self-keyed section)."""
+    from .conv_pallas import build_sk_maps
+
+    deltas = pack_deltas(offsets)
+    bits = sk_bits(off, valid, offsets)
+    return build_sk_maps(key, bits, deltas, t=t, w_width=w)
+
+
 def neighbor_tables(off, key, valid, offsets, t=None, w=None,
                     return_tiled=False):
     """k=3 s=1 neighbour tables, batched (replaces vmapped

@@ -119,6 +119,23 @@ def conv_k3(feats, weights, level, bias=None, act_absmax=None):
     The Pallas route is differentiable: submanifold adjacency is symmetric,
     so the backward conv runs the SAME tiled map with W'[k] = W[26-k]^T
     (ops/conv_pallas.py custom VJP)."""
+    if level.nbr_sk is not None and _current_impl() == "pallas":
+        # self-keyed: the one-hot is built from the level's sorted keys
+        # in-kernel — no tables were materialised (inference-only path)
+        from ..ops.conv_pallas import gather_gemm_conv_sk, sk_supported
+        from ..ops.rank_pallas import pack_deltas
+        from .hierarchy import K3_OFFSETS
+
+        n = feats.shape[-2]
+        itemsize = jnp.dtype(feats.dtype).itemsize
+        assert sk_supported(n, itemsize=itemsize), (
+            "self-keyed k3 pack was built for this level but the conv's "
+            f"dtype/shape (n={n}, itemsize={itemsize}) exceeds the "
+            "self-keyed gate — build the hierarchy with tables instead")
+        return gather_gemm_conv_sk(
+            feats, weights, level.key, level.nbr_sk, level.valid,
+            deltas=tuple(int(d) for d in pack_deltas(K3_OFFSETS)),
+            bias=bias, identity_k=13)
     if (level.nbr_tiled is not None
             and _pallas_route_tiled(feats, level.nbr_tiled)):
         if _q8():

@@ -75,6 +75,29 @@ def _use_rank_kernel(n_keys, n_queries) -> bool:
             and n_queries >= 128 and n_keys >= 128)
 
 
+def _use_self_keyed(n) -> bool:
+    """Route k=3 neighbour resolution through the SELF-KEYED conv
+    (ops/conv_pallas.py): no tables at all.  bf16 inference only — the
+    gate mirrors conv_pallas.sk_supported with itemsize 2 (the engine's
+    compute dtype); training keeps the rank-table path (custom VJP)."""
+    if _current_impl() != "pallas":
+        return False
+    from ..ops.conv_pallas import sk_supported
+
+    return sk_supported(n, itemsize=2)
+
+
+def _neighbor_maps(off, key, valid, offsets, self_keyed=False):
+    """k=3 neighbour resolution for one level: either a self-keyed pack
+    (no tables) or the (idx, hit, tiled) tables."""
+    if self_keyed and _use_self_keyed(key.shape[1]):
+        from ..ops.rank_pallas import sk_neighbor_pack
+
+        return dict(nbr_sk=sk_neighbor_pack(off, key, valid, offsets))
+    nbr_idx, nbr_hit, nbr_tiled = _neighbor_tables(off, key, valid, offsets)
+    return dict(nbr_idx=nbr_idx, nbr_hit=nbr_hit, nbr_tiled=nbr_tiled)
+
+
 def _neighbor_tables(off, key, valid, offsets):
     """Batched 27-neighbour tables [K, B, N] (impl-dispatched).
 
@@ -261,11 +284,16 @@ class Level:
     # COARSER level's table): forward map of k=2 s=2 transpose convs and
     # backward map of k=2 s=2 down convs (ops/conv_pallas.py custom VJP)
     up_tiled: Optional[tuple] = None
+    # self-keyed k3 pack (kbits, starts, nchunks): convs build their
+    # one-hot from the level's sorted keys in-kernel — no rank-kernel
+    # table build (inference-only; see ops/conv_pallas.py)
+    nbr_sk: Optional[tuple] = None
 
 
 def build_hierarchy(voxels: SparseVoxels, depth: int,
                     capacities: Optional[Tuple[int, ...]] = None,
-                    build_k3: bool = True) -> Tuple[Level, ...]:
+                    build_k3: bool = True,
+                    k3_self_keyed: bool = False) -> Tuple[Level, ...]:
     """Build ``depth+1`` stride levels (stride 1, 2, ..., 2^depth).
 
     Args:
@@ -276,6 +304,9 @@ def build_hierarchy(voxels: SparseVoxels, depth: int,
         surface-like voxel data typically shrinks 4-8x, but worst-case
         sparse data barely shrinks at the first level).
       build_k3: also build the 27-neighbour tables (needed by k=3 convs).
+      k3_self_keyed: resolve k=3 neighbours with the SELF-KEYED conv
+        kernel where supported (no tables; inference-only — the self-keyed
+        path has no VJP, so trainers must leave this False).
 
     Returns a tuple of ``depth+1`` Levels, finest first.
     """
@@ -304,20 +335,18 @@ def build_hierarchy(voxels: SparseVoxels, depth: int,
                                   parent_ok=parent_ok, octant=octant,
                                   up_tiled=up_tiled)
         if build_k3:
-            nbr_idx, nbr_hit, nbr_tiled = _neighbor_tables(
-                cur.off, cur.key, cur.valid, K3_OFFSETS)
-            cur = dataclasses.replace(cur, nbr_idx=nbr_idx, nbr_hit=nbr_hit,
-                                      nbr_tiled=nbr_tiled)
+            cur = dataclasses.replace(cur, **_neighbor_maps(
+                cur.off, cur.key, cur.valid, K3_OFFSETS,
+                self_keyed=k3_self_keyed))
         levels.append(cur)
         cur = Level(off=uoff, key=ukey, valid=uvalid, count=ucount,
                     child_idx=child_idx, child_hit=child_hit,
                     child_tiled=child_tiled)
 
     if build_k3:
-        nbr_idx, nbr_hit, nbr_tiled = _neighbor_tables(
-            cur.off, cur.key, cur.valid, K3_OFFSETS)
-        cur = dataclasses.replace(cur, nbr_idx=nbr_idx, nbr_hit=nbr_hit,
-                                  nbr_tiled=nbr_tiled)
+        cur = dataclasses.replace(cur, **_neighbor_maps(
+            cur.off, cur.key, cur.valid, K3_OFFSETS,
+            self_keyed=k3_self_keyed))
     levels.append(cur)
     return tuple(levels)
 
