@@ -377,6 +377,15 @@ class InferenceEngine:
             return tuple(override)
         return (cap, max(cap // 2, 64), max(cap // 4, 64), max(cap // 8, 64))
 
+    @property
+    def _k3_sk(self) -> bool:
+        """Self-keyed k3 routing, guarded to bf16 compute: the build-time
+        gate (hierarchy._use_self_keyed) sizes key windows for itemsize-2
+        feature tables — an f32 engine at headline capacities would pass
+        the build gate but trip conv_k3's per-dtype assert."""
+        return (self.cfg.k3_self_keyed
+                and jnp.dtype(self.cfg.compute_dtype).itemsize == 2)
+
     def _seg_stage(self, params, points, rgb, mask, mutable_q8=False):
         """Segmentation + cluster filter + fixed-capacity EE crop.
 
@@ -394,7 +403,7 @@ class InferenceEngine:
         slevels = build_hierarchy(
             svox, 4, capacities=self._hierarchy_caps(cfg.seg_voxel_capacity,
                                                      cfg.seg_hierarchy_caps),
-            k3_self_keyed=cfg.k3_self_keyed)
+            k3_self_keyed=self._k3_sk)
         sfeats = svox.feats.astype(jnp.dtype(cfg.compute_dtype))
         if mutable_q8:
             slogits, q8_upd = self._seg_model.apply(
@@ -456,7 +465,7 @@ class InferenceEngine:
         rlevels = build_hierarchy(
             rvox, 4, capacities=self._hierarchy_caps(cfg.ee_voxel_capacity,
                                                      cfg.ee_hierarchy_caps),
-            k3_self_keyed=cfg.k3_self_keyed)
+            k3_self_keyed=self._k3_sk)
         rfeats = rvox.feats.astype(jnp.dtype(cfg.compute_dtype))
         if mutable_q8:
             rot_out, q8_upd = self._rot_model.apply(
@@ -552,7 +561,7 @@ class InferenceEngine:
         klevels = build_hierarchy(
             kvox, 4, capacities=self._hierarchy_caps(cfg.kp_voxel_capacity,
                                                      cfg.kp_hierarchy_caps),
-            k3_self_keyed=cfg.k3_self_keyed)
+            k3_self_keyed=self._k3_sk)
         kfeats = kvox.feats.astype(jnp.dtype(cfg.compute_dtype))
         if mutable_q8:
             klogits, q8_upd = self._kp_model.apply(
