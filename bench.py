@@ -134,6 +134,27 @@ def certify_kernels():
                 f"compiled {impl} conv off by {err:.4f} rel vs the XLA "
                 "oracle — refusing to report a benchmark number")
 
+    # the SELF-KEYED k3 conv compiles its own kernel (one-hot built from
+    # the level's sorted keys in-kernel, no neighbour tables) — certify
+    # the compiled specialization whenever the engine may route through it
+    def mk_sk():
+        with sparse_impl("pallas"):
+            vox, _, _ = voxelize(pts, rgb, mask, 1 / 25.0, 768)
+            return build_hierarchy(vox, 2, capacities=(512, 256),
+                                   k3_self_keyed=True)
+
+    lv_sk = mk_sk()
+    if lv_sk[0].nbr_sk is not None:
+        with sparse_impl("pallas"):
+            got = np.asarray(C.conv_k3(
+                feats.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                lv_sk[0])).astype(np.float32)
+        err = float(np.linalg.norm(got - want)) / wn
+        if err > 2e-2:
+            raise AssertionError(
+                f"compiled self-keyed conv off by {err:.4f} rel vs the "
+                "XLA oracle — refusing to report a benchmark number")
+
     # the wide-bcast (octant/up) mode compiles a DIFFERENT kernel
     # specialization — certify it too (it shipped its first compiled run
     # with an i1-reshape Mosaic failure the CPU suite could not see)
@@ -157,7 +178,7 @@ def certify_kernels():
                 f"compiled {impl} up-transpose off by {err:.4f} rel vs "
                 "the XLA oracle — refusing to report a benchmark number")
     print("# on-chip kernel certification passed (rank, bf16/int8 conv, "
-          "bf16/int8 up-transpose)", file=sys.stderr)
+          "self-keyed conv, bf16/int8 up-transpose)", file=sys.stderr)
 
 
 def main():
@@ -209,6 +230,10 @@ def main():
         # rotation path is encoder-only, whose planes are IDENTICAL
         # between 18 and 18D — rot_backbone has no 18-vs-18D distinction
         kp_backbone=os.environ.get("BENCH_KP_BACKBONE", "minkunet18"),
+        # self-keyed k3 convs (no neighbour-table builds; bf16 pallas
+        # engines only — the engine gate demotes it elsewhere).
+        # BENCH_K3_SK=0 restores the rank-table path.
+        k3_self_keyed=os.environ.get("BENCH_K3_SK", "1") != "0",
     )
     engine = InferenceEngine(cfg, seed=0)
     if engine._conv_impl == "pallas-int8":

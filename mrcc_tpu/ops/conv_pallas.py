@@ -605,13 +605,15 @@ def _gather_gemm_call_sk(starts, nchunks, keys, kbits, feats, w_grp,
         kb = kbits_ref[0, 0, pl.ds(pl.multiple_of(ti * t, 128), t)]
 
         for j in range(k_real):
-            qv = ((kb >> j) & 1) != 0                        # [T]
+            # Mosaic: i1 vectors cannot take a minor dim — reshape the
+            # int32 bit vector and compare in 2D (verify-skill gotcha)
+            qv2 = (((kb >> j) & 1)[:, None]) != 0            # [T, 1]
             if identity_k == j:
                 # delta == 0 resolves to the tile's own rows (padding rows
                 # are zero by the sparse-core invariant)
                 rows = feats_ref[0, pl.ds(ti * t, t), :]
                 gall_ref[:, j * c:(j + 1) * c] = jnp.where(
-                    qv[:, None], rows, 0).astype(gall_ref.dtype)
+                    qv2, rows, 0).astype(gall_ref.dtype)
                 continue
             q = qk + int(deltas[j])
             flat = (j * pl.num_programs(0) + bi) * nt + ti
@@ -619,20 +621,20 @@ def _gather_gemm_call_sk(starts, nchunks, keys, kbits, feats, w_grp,
             nch = nchunks_ref[flat]
             wst0 = pl.multiple_of(st, 128)
             wk = keys_ref[0, 0, pl.ds(wst0, w)]              # [W]
-            oh = (wk[None, :] == q[:, None]) & qv[:, None]
+            oh = (wk[None, :] == q[:, None]) & qv2
             window0 = feats_ref[0, pl.ds(wst0, w), :]
             g = jnp.dot(oh.astype(window0.dtype), window0,
                         preferred_element_type=jnp.float32)
 
-            def chunk_body(ci, acc, q=q, qv=qv, st=st):
+            def chunk_body(ci, acc, q=q, qv2=qv2, st=st):
                 # keys are unique, but clamped windows overlap — the
                 # POSITION partition keeps the gather adds disjoint
                 wst = pl.multiple_of(jnp.minimum(st + ci * w, n - w), 128)
                 wkc = keys_ref[0, 0, pl.ds(wst, w)]
-                pos = wst + iota_w[0]                        # [W]
+                pos = wst + iota_w[0:1]                      # [1, W] int32
                 seg = ((pos >= st + ci * w)
-                       & (pos < st + (ci + 1) * w))[None, :]
-                ohc = (wkc[None, :] == q[:, None]) & qv[:, None] & seg
+                       & (pos < st + (ci + 1) * w))
+                ohc = (wkc[None, :] == q[:, None]) & qv2 & seg
                 win = feats_ref[0, pl.ds(wst, w), :]
                 return acc + jnp.dot(ohc.astype(win.dtype), win,
                                      preferred_element_type=jnp.float32)
