@@ -548,18 +548,36 @@ def _padded_lanes(c: int) -> int:
 #   onehot[i, p] = (window_keys[p] == key_tile[i] + delta_k) & valid_k[i]
 #
 # which removes the per-level rank-kernel table build entirely (~28 ms of
-# the B=8/16k pipeline, scripts/probe_k3_pieces.py) for every UNPACKED k3
-# conv.  Costs vs the table path: key-window lane slices force 128-aligned
-# window starts (W = T + 128 instead of T + 64 -> ~20% more gather FLOPs),
-# and narrow convs (c <= 64) cannot lane-pack (their one-hot would need a
-# sub-row select that requires the rank).  Border validity travels as a
-# per-row 27-bit bitmap (border queries alias real coords across the
-# arithmetic key fields, so the compare alone is not sufficient).
+# the B=8/16k pipeline, scripts/probe_k3_pieces.py).  Costs vs the table
+# path: key-window lane slices force 128-aligned window starts (W = T +
+# 128 instead of T + 64 -> ~20% more gather FLOPs).  Border validity
+# travels as a per-row 27-bit bitmap (border queries alias real coords
+# across the arithmetic key fields, so the compare alone is not
+# sufficient).
 #
-# Forward-only: training keeps the rank-table path (build_hierarchy
-# default), whose custom VJP is already wired.  Levels whose tables
-# exceed the VMEM budget even at 128 lanes (production scale, > ~20k
-# voxels in bf16) keep the lane-packed table path too.
+# LANE-PACKED self-keying (round 5; the r4 blocker): the packed one-hot
+# needs the sub-row index of each match, which the table path reads off
+# ``idx & (pack-1)``.  Self-keyed, the keys are restacked SUB-MAJOR
+# ([B, pack, N/pack]: vector s holds raw rows s, s+pack, ...), the
+# compare runs once per sub over the PACKED window, the per-sub hits are
+# OR-merged for ONE packed gather dot, and the sub index is recovered as
+# the row-sum of ``sum_s s*oh_s`` (keys are unique, so at most one
+# (sub, position) matches).  Packing serves two independent purposes,
+# exactly as in the table plan (_split_plan): density for narrow convs
+# (c <= 64 packs to a 128-lane block, windows shrink ~pack-fold) and
+# RESIDENCY for production-scale levels (the packed table fits the VMEM
+# budget where the 128-lane one does not — bf16 to ~80k voxels at pack 4,
+# int8 to ~160k).
+#
+# TRAINING (round 5): submanifold k3 adjacency is symmetric under delta
+# negation and K3_OFFSETS[26-k] == -K3_OFFSETS[k], so the backward data
+# cotangent is the SAME self-keyed conv with W'[k] = W[26-k]^T — the
+# validity bitmap is reused verbatim (a hit (i, k) exists iff the hit
+# (i+d_k, 26-k) exists: both endpoints are real in-range voxels).  dW
+# accumulates gather_k(feats)^T @ g with the same key-compare gather
+# (:func:`_dw_call_sk`).  ``pallas_conv_sk_op`` wires both as a
+# custom_vjp, so trainers self-key too (reference hot loop
+# train.py:39-151).
 
 
 def sk_window(t: int, n: int) -> int:
@@ -569,78 +587,212 @@ def sk_window(t: int, n: int) -> int:
     return max(128, min(t + 128, n128))
 
 
+def sk_window_packed(t: int, pack: int, n_p: int) -> int:
+    """Window width over a sub-major packed key/table pair (``n_p = n //
+    pack`` rows): a T-row monotone tile spans ~T/pack packed rows, plus up
+    to 127 rows of 128-alignment slack; multiples of 128 (lane slices)."""
+    w = -(-(t // pack + 128) // 128) * 128
+    return max(128, min(w, n_p - (n_p % 128)))
+
+
+def sk_pack(n: int, itemsize: int = 2):
+    """Smallest lane-pack factor at which the self-keyed route handles an
+    ``n``-row table (1 = unpacked fits), or None if unsupported.
+
+    Requirements per pack p: n/p divisible by 128 (packed key vectors are
+    lane-sliced at 128-aligned starts), and the (n/p)x128-lane table fits
+    the VMEM budget."""
+    if n % 128 or n < 128 or _pick_tile(n) < 128:
+        return None
+    for p in (1, 2, 4):
+        n_p = n // p
+        if (n % (128 * p) == 0 and n_p >= 128
+                and n_p * 128 * itemsize <= _TABLE_BUDGET):
+            return p
+    return None
+
+
 def sk_supported(n: int, itemsize: int = 2) -> bool:
-    """Self-keyed route gate: 128-aligned capacities whose 128-lane table
-    fits the VMEM budget without lane packing."""
-    return (n % 128 == 0 and n >= 128
-            and n * 128 * itemsize <= _TABLE_BUDGET
-            and _pick_tile(n) >= 128)
+    """Self-keyed route gate (packed capacities included)."""
+    return sk_pack(n, itemsize) is not None
+
+
+def _sk_plan(n, c, itemsize):
+    """(c_g, n_cg, pack) for one self-keyed conv: 128-lane channel groups;
+    pack = required residency pack, raised for narrow-channel density on
+    hardware (same perf-only rule as _split_plan)."""
+    pack = sk_pack(n, itemsize)
+    assert pack is not None, (n, itemsize)
+    perf_shapes = (not _interpret()
+                   and os.environ.get("MRCC_CONV_PLAN", "") != "plain")
+    if pack == 1 and c <= 64 and perf_shapes:
+        sub = 32 if c <= 32 else 64
+        p = 128 // sub
+        if n % (128 * p) == 0 and n // p >= 128:
+            pack = p
+    c_g = min(_padded_lanes(c), 128) // pack if pack > 1 else min(
+        _padded_lanes(c), 128)
+    n_cg = -(-c // c_g)
+    return c_g, n_cg, pack
+
+
+def _sk_gather_factory(t, w, n_raw, w_raw, pack, n_p, deltas):
+    """Shared self-keyed windowed-gather builder for the fwd/q8/dW kernels.
+
+    Returns ``gather(j, qk, kb, starts_ref, nchunks_ref, kpk_ref,
+    feats_ref, flat, acc_dtype)`` producing the [T, C] gather for offset
+    ``j`` (C = pack * c_g lanes).  ``acc_dtype`` selects f32 (float paths)
+    or int32 (int8 path) chunk accumulation; the packed sub-row lane mask
+    is applied before returning."""
+    shift = pack.bit_length() - 1
+
+    def gather(j, qk, kb, starts_ref, nchunks_ref, kpk_ref, feats_ref,
+               flat, acc_dtype):
+        # Mosaic: i1 vectors cannot take a minor dim — reshape the int32
+        # bit vector and compare in 2D (verify-skill gotcha)
+        qv2 = (((kb >> j) & 1)[:, None]) != 0                # [T, 1]
+        q = qk + int(deltas[j])
+        st_raw = starts_ref[flat]
+        nch_raw = nchunks_ref[flat]
+        if pack > 1:
+            stp0 = st_raw >> shift
+            st = jnp.maximum(stp0 - stp0 % 128, 0)
+            st = jnp.minimum(st, n_p - w)
+            bound = (stp0 - st) + ((nch_raw * w_raw) >> shift) + 1
+            nch = bound // w + 1
+        else:
+            st = st_raw
+            nch = nch_raw
+        c = feats_ref.shape[-1]
+
+        def compare(wst, seg):
+            """OR-merged per-sub one-hot over window [wst, wst+w) plus the
+            matching sub-index row-sum (packed), or the plain compare."""
+            if pack == 1:
+                wk = kpk_ref[0, 0, pl.ds(wst, w)]
+                oh = (wk[None, :] == q[:, None]) & qv2
+                if seg is not None:
+                    oh = oh & seg
+                return oh, None
+            ohc = None
+            rbm = None
+            for s in range(pack):
+                wk = kpk_ref[0, s, pl.ds(wst, w)]
+                oh_s = (wk[None, :] == q[:, None]) & qv2
+                if seg is not None:
+                    oh_s = oh_s & seg
+                ohc = oh_s if ohc is None else (ohc | oh_s)
+                if s:
+                    m = oh_s.astype(jnp.int32) * s
+                    rbm = m if rbm is None else rbm + m
+            # keys are unique: at most one (sub, position) matches, so the
+            # row-sum IS the matching sub index (0 for misses — their
+            # gather row is all-zero anyway)
+            return ohc, jnp.sum(rbm, axis=1)
+
+        wst0 = pl.multiple_of(st, 128)
+        oh0, rb = compare(wst0, None)
+        window0 = feats_ref[0, pl.ds(wst0, w), :]
+        g = jnp.dot(oh0.astype(window0.dtype), window0,
+                    preferred_element_type=acc_dtype)
+
+        def chunk_body(ci, carry, q=q, qv2=qv2, st=st):
+            # keys are unique, but clamped windows overlap — the POSITION
+            # partition keeps the gather adds disjoint
+            acc, rbacc = carry
+            wst = pl.multiple_of(
+                jnp.minimum(st + ci * w, (n_p if pack > 1 else n_raw) - w),
+                128)
+            iota = jax.lax.broadcasted_iota(jnp.int32, (t, w), 1)
+            pos = wst + iota[0:1]                            # [1, W] int32
+            seg = (pos >= st + ci * w) & (pos < st + (ci + 1) * w)
+            ohc, rbc = compare(wst, seg)
+            win = feats_ref[0, pl.ds(wst, w), :]
+            acc = acc + jnp.dot(ohc.astype(win.dtype), win,
+                                preferred_element_type=acc_dtype)
+            if rbacc is not None:
+                rbacc = rbacc + rbc
+            return acc, rbacc
+
+        if pack > 1:
+            g, rb = jax.lax.fori_loop(1, nch, chunk_body, (g, rb))
+            c_sub = c // pack
+            lane_grp = jax.lax.broadcasted_iota(jnp.int32, (t, c), 1) // c_sub
+            g = jnp.where(lane_grp == rb[:, None], g, 0)
+        else:
+            g, _ = jax.lax.fori_loop(1, nch, chunk_body, (g, None))
+        return g
+
+    return gather
+
+
+def _sk_in_specs(n, n_p, pack, c_all):
+    """Block specs shared by the self-keyed forward/q8 kernels:
+    (keys, kpk, kbits, feats) — everything per-item VMEM-resident with
+    constant index maps (single-buffered across the tile grid)."""
+    return [
+        pl.BlockSpec((1, 1, n), lambda bi, ti, s1, s2: (bi, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, pack, n_p), lambda bi, ti, s1, s2: (bi, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, n), lambda bi, ti, s1, s2: (bi, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_p, c_all), lambda bi, ti, s1, s2: (bi, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("deltas", "t", "w", "cout", "out_dtype", "identity_k"))
-def _gather_gemm_call_sk(starts, nchunks, keys, kbits, feats, w_grp,
-                         deltas, t, w, cout, out_dtype, identity_k=None):
-    """Self-keyed pallas_call: one channel group (c <= 128 lanes), kg == K.
+    static_argnames=("deltas", "t", "w", "cout", "out_dtype", "identity_k",
+                     "pack", "w_raw"))
+def _gather_gemm_call_sk(starts, nchunks, keys, kpk, kbits, feats, w_grp,
+                         deltas, t, w, cout, out_dtype, identity_k=None,
+                         pack=1, w_raw=None):
+    """Self-keyed pallas_call: one channel group (pack*c <= 128 lanes).
 
-    keys:  [B, 1, N] int32 sorted per item (KEY_PAD padding).
-    kbits: [B, 1, N] int32 — bit k set iff row's offset-k query is valid
-      (in coordinate range on every axis AND the row itself is valid).
-    starts/nchunks: [K*B*nt] int32 (k-major), window starts 128-ALIGNED.
-    feats: [B, N, C] (C <= 128); w_grp: [1, K*C, Cout].
+    keys:  [B, 1, N] int32 sorted per item (KEY_PAD padding) — query keys.
+    kpk:   [B, pack, N//pack] int32 sub-major window keys (== keys when
+      pack == 1); kbits: [B, 1, N] int32 — bit k set iff the row's
+      offset-k query is valid (in coordinate range on every axis AND the
+      row itself is valid).
+    starts/nchunks: [K*B*nt] int32 (k-major), RAW units, starts
+      128-ALIGNED (packed equivalents are derived in-kernel so one
+      build_sk_maps pack serves every conv pack on the level).
+    feats: [B, N//pack, pack*C] (C real channels per packed sub-row);
+    w_grp: [1, K*pack*C, Cout] (weights tiled over lane groups if packed).
     Submanifold: n_out == N (the query tile IS the key tile).
     """
-    b, n, c = feats.shape
+    b, n_p, c_all = feats.shape
+    n = keys.shape[-1]
     k_real = len(deltas)
     nt = n // t
+    w_raw = w_raw or w
     assert _interpret() or (t % 128 == 0 and w % 128 == 0 and n % 128 == 0)
+    assert n_p * pack == n and c_all % pack == 0
 
-    def kernel(starts_ref, nchunks_ref, keys_ref, kbits_ref, feats_ref,
-               w_ref, out_ref, gall_ref):
+    gather = _sk_gather_factory(t, w, n, w_raw, pack, n_p, deltas)
+
+    def kernel(starts_ref, nchunks_ref, keys_ref, kpk_ref, kbits_ref,
+               feats_ref, w_ref, out_ref, gall_ref):
         bi = pl.program_id(0)
         ti = pl.program_id(1)
-        iota_w = jax.lax.broadcasted_iota(jnp.int32, (t, w), 1)
         qk = keys_ref[0, 0, pl.ds(pl.multiple_of(ti * t, 128), t)]
         kb = kbits_ref[0, 0, pl.ds(pl.multiple_of(ti * t, 128), t)]
 
         for j in range(k_real):
-            # Mosaic: i1 vectors cannot take a minor dim — reshape the
-            # int32 bit vector and compare in 2D (verify-skill gotcha)
-            qv2 = (((kb >> j) & 1)[:, None]) != 0            # [T, 1]
-            if identity_k == j:
+            if identity_k == j and pack == 1:
                 # delta == 0 resolves to the tile's own rows (padding rows
                 # are zero by the sparse-core invariant)
+                qv2 = (((kb >> j) & 1)[:, None]) != 0
                 rows = feats_ref[0, pl.ds(ti * t, t), :]
-                gall_ref[:, j * c:(j + 1) * c] = jnp.where(
+                gall_ref[:, j * c_all:(j + 1) * c_all] = jnp.where(
                     qv2, rows, 0).astype(gall_ref.dtype)
                 continue
-            q = qk + int(deltas[j])
             flat = (j * pl.num_programs(0) + bi) * nt + ti
-            st = starts_ref[flat]
-            nch = nchunks_ref[flat]
-            wst0 = pl.multiple_of(st, 128)
-            wk = keys_ref[0, 0, pl.ds(wst0, w)]              # [W]
-            oh = (wk[None, :] == q[:, None]) & qv2
-            window0 = feats_ref[0, pl.ds(wst0, w), :]
-            g = jnp.dot(oh.astype(window0.dtype), window0,
-                        preferred_element_type=jnp.float32)
-
-            def chunk_body(ci, acc, q=q, qv2=qv2, st=st):
-                # keys are unique, but clamped windows overlap — the
-                # POSITION partition keeps the gather adds disjoint
-                wst = pl.multiple_of(jnp.minimum(st + ci * w, n - w), 128)
-                wkc = keys_ref[0, 0, pl.ds(wst, w)]
-                pos = wst + iota_w[0:1]                      # [1, W] int32
-                seg = ((pos >= st + ci * w)
-                       & (pos < st + (ci + 1) * w))
-                ohc = (wkc[None, :] == q[:, None]) & qv2 & seg
-                win = feats_ref[0, pl.ds(wst, w), :]
-                return acc + jnp.dot(ohc.astype(win.dtype), win,
-                                     preferred_element_type=jnp.float32)
-
-            g = jax.lax.fori_loop(1, nch, chunk_body, g)
-            gall_ref[:, j * c:(j + 1) * c] = g.astype(gall_ref.dtype)
+            g = gather(j, qk, kb, starts_ref, nchunks_ref, kpk_ref,
+                       feats_ref, flat, jnp.float32)
+            gall_ref[:, j * c_all:(j + 1) * c_all] = g.astype(gall_ref.dtype)
 
         out_ref[0, :, :] = jnp.dot(
             gall_ref[:, :].astype(w_ref.dtype), w_ref[0],
@@ -649,26 +801,90 @@ def _gather_gemm_call_sk(starts, nchunks, keys, kbits, feats, w_grp,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b, nt),
-        in_specs=[
-            pl.BlockSpec((1, 1, n), lambda bi, ti, s1, s2: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n), lambda bi, ti, s1, s2: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, c), lambda bi, ti, s1, s2: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k_real * c, cout), lambda bi, ti, s1, s2:
+        in_specs=_sk_in_specs(n, n_p, pack, c_all) + [
+            pl.BlockSpec((1, k_real * c_all, cout), lambda bi, ti, s1, s2:
                          (0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, t, cout), lambda bi, ti, s1, s2:
                                (bi, ti, 0), memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((t, k_real * c), feats.dtype)],
+        scratch_shapes=[pltpu.VMEM((t, k_real * c_all), feats.dtype)],
     )
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, n, cout), out_dtype),
         grid_spec=grid_spec,
         interpret=_interpret(),
-    )(starts, nchunks, keys[:, None, :], kbits[:, None, :], feats, w_grp)
+    )(starts, nchunks, keys[:, None, :], kpk, kbits[:, None, :], feats,
+      w_grp)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("deltas", "t", "w", "cout", "out_dtype", "identity_k",
+                     "pack", "w_raw"))
+def _gather_gemm_call_sk_q8(starts, nchunks, keys, kpk, kbits, feats_q,
+                            w_q, vco, deltas, t, w, cout, out_dtype,
+                            identity_k=None, pack=1, w_raw=None):
+    """int8 self-keyed variant: one-hot gathers copy int8 table rows
+    verbatim (exact), the concat GEMM runs int8 x int8 -> int32 on the MXU
+    with ONE f32 per-output-column dequant scale (``vco`` [1, 1, Cout]).
+    Same layout contract as :func:`_gather_gemm_call_sk`."""
+    b, n_p, c_all = feats_q.shape
+    n = keys.shape[-1]
+    k_real = len(deltas)
+    nt = n // t
+    w_raw = w_raw or w
+    assert _interpret() or (t % 128 == 0 and w % 128 == 0 and n % 128 == 0)
+    assert n_p * pack == n and c_all % pack == 0
+
+    gather = _sk_gather_factory(t, w, n, w_raw, pack, n_p, deltas)
+
+    def kernel(starts_ref, nchunks_ref, keys_ref, kpk_ref, kbits_ref,
+               feats_ref, w_ref, vco_ref, out_ref, gall_ref):
+        bi = pl.program_id(0)
+        ti = pl.program_id(1)
+        qk = keys_ref[0, 0, pl.ds(pl.multiple_of(ti * t, 128), t)]
+        kb = kbits_ref[0, 0, pl.ds(pl.multiple_of(ti * t, 128), t)]
+
+        for j in range(k_real):
+            if identity_k == j and pack == 1:
+                qv2 = (((kb >> j) & 1)[:, None]) != 0
+                rows = feats_ref[0, pl.ds(ti * t, t), :]
+                gall_ref[:, j * c_all:(j + 1) * c_all] = jnp.where(
+                    qv2, rows, 0).astype(jnp.int8)
+                continue
+            flat = (j * pl.num_programs(0) + bi) * nt + ti
+            g = gather(j, qk, kb, starts_ref, nchunks_ref, kpk_ref,
+                       feats_ref, flat, jnp.int32)
+            # one-hot rows copy table entries verbatim: stays int8
+            gall_ref[:, j * c_all:(j + 1) * c_all] = g.astype(jnp.int8)
+
+        gemm = jnp.dot(gall_ref[:, :], w_ref[0],
+                       preferred_element_type=jnp.int32)
+        out_ref[0, :, :] = (gemm.astype(jnp.float32)
+                            * vco_ref[0, 0, :][None, :]).astype(
+                                out_ref.dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, nt),
+        in_specs=_sk_in_specs(n, n_p, pack, c_all) + [
+            pl.BlockSpec((1, k_real * c_all, cout), lambda bi, ti, s1, s2:
+                         (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, cout), lambda bi, ti, s1, s2: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, t, cout), lambda bi, ti, s1, s2:
+                               (bi, ti, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((t, k_real * c_all), jnp.int8)],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, n, cout), out_dtype),
+        grid_spec=grid_spec,
+        interpret=_interpret(),
+    )(starts, nchunks, keys[:, None, :], kpk, kbits[:, None, :], feats_q,
+      w_q, vco)
 
 
 def build_sk_maps(key, kbits, deltas, t=None, w_width=None):
@@ -710,15 +926,34 @@ def build_sk_maps(key, kbits, deltas, t=None, w_width=None):
             jnp.maximum(nchunks, 1).reshape(-1).astype(jnp.int32))
 
 
+def _sk_prep(feats, weights, key, pack, c_g, n_cg):
+    """Shared packed-layout prep for the sk conv wrappers: pad channels to
+    the group grid, restack the window keys sub-major, and return
+    per-group (feats-slice, weights-slice) generators' inputs."""
+    b, n, c = feats.shape
+    c_pad = n_cg * c_g
+    if c_pad > c:
+        feats = jnp.pad(feats, ((0, 0), (0, 0), (0, c_pad - c)))
+        weights = jnp.pad(weights, ((0, 0), (0, c_pad - c), (0, 0)))
+    if pack > 1:
+        # sub-major packed key vectors: kpk[b, s, r] = key[b, r*pack + s]
+        kpk = key.reshape(b, n // pack, pack).transpose(0, 2, 1)
+    else:
+        kpk = key[:, None, :]
+    return feats, weights, kpk
+
+
 def gather_gemm_conv_sk(feats, weights, key, sk, out_valid, deltas,
-                        bias=None, identity_k=None, w_width=None):
+                        bias=None, identity_k=None, w_width=None,
+                        pack=None):
     """Self-keyed k=3 s=1 conv (no neighbour tables).
 
     sk: (kbits, starts, nchunks) from :func:`build_sk_maps`.  Channels
-    over 128 lanes run as per-group calls on 128-lane slices (weights
-    stay resident: K*128 = 3456 = _KG_LANES); narrower channels pad to
-    the 128-lane block (physically free in VMEM, K-aligned GEMM).
-    Forward-only — training uses the rank-table path.
+    over the 128-lane block run as per-group calls on 128-lane slices
+    (weights stay resident: K*128 = 3456 = _KG_LANES).  Lane packing per
+    :func:`_sk_plan`: required for over-budget tables (production
+    levels), optional for narrow-channel density; ``pack`` overrides
+    (tests).  Differentiable via :func:`pallas_conv_sk_op`.
     """
     kbits, starts, nchunks = sk
     deltas = tuple(int(d) for d in np.asarray(deltas).reshape(-1))
@@ -726,30 +961,239 @@ def gather_gemm_conv_sk(feats, weights, key, sk, out_valid, deltas,
     k = weights.shape[0]
     assert k == len(deltas)
     t = _pick_tile(n)
-    w = w_width or sk_window(t, n)
+    w_raw = w_width or sk_window(t, n)
     cout = weights.shape[-1]
 
-    c_g = min(_padded_lanes(c), 128)
-    n_cg = -(-c // c_g)
-    c_pad = n_cg * c_g
-    if c_pad > c:
-        feats = jnp.pad(feats, ((0, 0), (0, 0), (0, c_pad - c)))
-        weights = jnp.pad(weights, ((0, 0), (0, c_pad - c), (0, 0)))
+    itemsize = jnp.dtype(feats.dtype).itemsize
+    c_g, n_cg, plan_pack = _sk_plan(n, c, itemsize)
+    pack = plan_pack if pack is None else pack
+    if pack > 1:
+        c_g = min(_padded_lanes(c), 128) // pack
+        n_cg = -(-c // c_g)
+    w = sk_window_packed(t, pack, n // pack) if pack > 1 else w_raw
+    feats, weights, kpk = _sk_prep(feats, weights, key, pack, c_g, n_cg)
     weights = weights.astype(feats.dtype)
 
     out = None
     for cg in range(n_cg):
         f_sl = feats[:, :, cg * c_g:(cg + 1) * c_g]
-        w_sl = weights[:, cg * c_g:(cg + 1) * c_g, :].reshape(
-            1, k * c_g, cout)
+        w_sl = weights[:, cg * c_g:(cg + 1) * c_g, :]
+        if pack > 1:
+            f_sl = f_sl.reshape(b, n // pack, pack * c_g)
+            w_sl = jnp.tile(w_sl, (1, pack, 1))
+        w_sl = w_sl.reshape(1, k * pack * c_g, cout)
         contrib = _gather_gemm_call_sk(
-            starts, nchunks, key, kbits, f_sl, w_sl, deltas=deltas,
+            starts, nchunks, key, kpk, kbits, f_sl, w_sl, deltas=deltas,
             t=t, w=w, cout=cout, out_dtype=feats.dtype,
-            identity_k=identity_k)
+            identity_k=identity_k, pack=pack, w_raw=w_raw)
         out = contrib if out is None else out + contrib
     if bias is not None:
         out = out + bias.astype(feats.dtype)
     return jnp.where(out_valid[..., None], out, 0)
+
+
+def gather_gemm_conv_sk_q8(feats, weights, key, sk, out_valid, deltas,
+                           bias=None, identity_k=None, w_width=None,
+                           act_absmax=None, pack=None):
+    """Quantized self-keyed conv (inference only): per-channel activation
+    scales folded into the weights, per-output-column weight quantization,
+    fully-int8 gather+GEMM — the sk twin of
+    :func:`gather_gemm_conv_tiled_q8`.  int8 tables halve the residency
+    budget, so production-scale levels (e.g. 131k voxels at pack 4) stay
+    on-kernel."""
+    kbits, starts, nchunks = sk
+    deltas = tuple(int(d) for d in np.asarray(deltas).reshape(-1))
+    b, n, c = feats.shape
+    k = weights.shape[0]
+    assert k == len(deltas)
+    t = _pick_tile(n)
+    w_raw = w_width or sk_window(t, n)
+    cout = weights.shape[-1]
+
+    f32 = feats.astype(jnp.float32)
+    if act_absmax is None:
+        act_absmax = jnp.abs(f32).max(axis=(0, 1))
+    s_c = jnp.maximum(act_absmax.astype(jnp.float32), 1e-8) / 127.0  # [C]
+    q_f = jnp.clip(jnp.round(f32 / s_c), -127, 127).astype(jnp.int8)
+    w_fold = weights.astype(jnp.float32) * s_c[None, :, None]
+
+    c_g, n_cg, plan_pack = _sk_plan(n, c, itemsize=1)
+    pack = plan_pack if pack is None else pack
+    if pack > 1:
+        c_g = min(_padded_lanes(c), 128) // pack
+        n_cg = -(-c // c_g)
+    w = sk_window_packed(t, pack, n // pack) if pack > 1 else w_raw
+    q_f, w_fold, kpk = _sk_prep(q_f, w_fold, key, pack, c_g, n_cg)
+
+    out = None
+    for cg in range(n_cg):
+        f_sl = q_f[:, :, cg * c_g:(cg + 1) * c_g]
+        w_sl = w_fold[:, cg * c_g:(cg + 1) * c_g, :]
+        # per-output-column weight quantization, PER channel group
+        m_co = jnp.maximum(jnp.abs(w_sl).max(axis=(0, 1)), 1e-12) / 127.0
+        w_sl = jnp.clip(jnp.round(w_sl / m_co), -127, 127).astype(jnp.int8)
+        if pack > 1:
+            f_sl = f_sl.reshape(b, n // pack, pack * c_g)
+            w_sl = jnp.tile(w_sl, (1, pack, 1))
+        w_sl = w_sl.reshape(1, k * pack * c_g, cout)
+        contrib = _gather_gemm_call_sk_q8(
+            starts, nchunks, key, kpk, kbits, f_sl, w_sl,
+            m_co[None, None, :], deltas=deltas, t=t, w=w, cout=cout,
+            out_dtype=feats.dtype, identity_k=identity_k, pack=pack,
+            w_raw=w_raw)
+        out = contrib if out is None else out + contrib
+    out = out.astype(feats.dtype)
+    if bias is not None:
+        out = out + bias.astype(feats.dtype)
+    return jnp.where(out_valid[..., None], out, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("deltas", "t", "w", "cout", "pack", "w_raw"))
+def _dw_call_sk(starts, nchunks, keys, kpk, kbits, feats, g,
+                deltas, t, w, cout, pack=1, w_raw=None):
+    """Self-keyed dW kernel: dw[k] = sum_{b,tiles} gather_k(feats)^T @ g.
+
+    Same key-compare gather as the forward; the [K*C, Cout] output block
+    has a constant index map, so it stays VMEM-resident and accumulates
+    in place across the whole (b, tile) grid."""
+    b, n_p, c_all = feats.shape
+    n = keys.shape[-1]
+    k_real = len(deltas)
+    nt = n // t
+    w_raw = w_raw or w
+    assert n_p * pack == n and c_all % pack == 0
+
+    gather = _sk_gather_factory(t, w, n, w_raw, pack, n_p, deltas)
+
+    def kernel(starts_ref, nchunks_ref, keys_ref, kpk_ref, kbits_ref,
+               feats_ref, g_ref, dw_ref):
+        bi = pl.program_id(0)
+        ti = pl.program_id(1)
+        qk = keys_ref[0, 0, pl.ds(pl.multiple_of(ti * t, 128), t)]
+        kb = kbits_ref[0, 0, pl.ds(pl.multiple_of(ti * t, 128), t)]
+
+        @pl.when(jnp.logical_and(bi == 0, ti == 0))
+        def _():
+            dw_ref[:, :] = jnp.zeros_like(dw_ref[:, :])
+
+        gt = g_ref[0, :, :]                                   # [T, Cout]
+        for j in range(k_real):
+            flat = (j * pl.num_programs(0) + bi) * nt + ti
+            gath = gather(j, qk, kb, starts_ref, nchunks_ref, kpk_ref,
+                          feats_ref, flat, jnp.float32)
+            contrib = jax.lax.dot_general(
+                gath.astype(gt.dtype), gt,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dw_ref[j * c_all:(j + 1) * c_all, :] = (
+                dw_ref[j * c_all:(j + 1) * c_all, :] + contrib)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, nt),
+        in_specs=_sk_in_specs(n, n_p, pack, c_all) + [
+            pl.BlockSpec((1, t, cout), lambda bi, ti, s1, s2: (bi, ti, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((k_real * c_all, cout),
+                               lambda bi, ti, s1, s2: (0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((k_real * c_all, cout), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=_interpret(),
+    )(starts, nchunks, keys[:, None, :], kpk, kbits[:, None, :], feats, g)
+
+
+def dw_gather_gemm_sk(feats, g, key, sk, deltas, w_width=None, pack=None):
+    """Weight cotangent of the self-keyed conv: dW[k] = Σ gather_k(f)^T g.
+
+    ``g`` must already be masked by the conv's output validity.
+    Returns [K, Cin, Cout] float32."""
+    kbits, starts, nchunks = sk
+    deltas = tuple(int(d) for d in np.asarray(deltas).reshape(-1))
+    b, n, c = feats.shape
+    k = len(deltas)
+    t = _pick_tile(n)
+    w_raw = w_width or sk_window(t, n)
+    cout = g.shape[-1]
+    itemsize = jnp.dtype(feats.dtype).itemsize
+    c_g, n_cg, plan_pack = _sk_plan(n, c, itemsize)
+    pack = plan_pack if pack is None else pack
+    if pack > 1:
+        c_g = min(_padded_lanes(c), 128) // pack
+        n_cg = -(-c // c_g)
+    w = sk_window_packed(t, pack, n // pack) if pack > 1 else w_raw
+    feats, _, kpk = _sk_prep(feats, jnp.zeros((k, c, cout), feats.dtype),
+                             key, pack, c_g, n_cg)
+    g = g.astype(feats.dtype)
+
+    c_pad = n_cg * c_g
+    dw = jnp.zeros((k, c_pad, cout), jnp.float32)
+    for cg in range(n_cg):
+        f_sl = feats[:, :, cg * c_g:(cg + 1) * c_g]
+        if pack > 1:
+            f_sl = f_sl.reshape(b, n // pack, pack * c_g)
+        dcg = _dw_call_sk(starts, nchunks, key, kpk, kbits, f_sl, g,
+                          deltas=deltas, t=t, w=w, cout=cout, pack=pack,
+                          w_raw=w_raw)
+        if pack > 1:
+            # lane groups hold the same channel slice for different
+            # sub-rows: dW[k, l] = sum_s dcg[k, s*c_g + l]
+            dcg = dcg.reshape(k, pack, c_g, cout).sum(axis=1)
+        else:
+            dcg = dcg.reshape(k, c_g, cout)
+        dw = dw.at[:, cg * c_g:(cg + 1) * c_g, :].set(dcg)
+    return dw[:, :c, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def pallas_conv_sk_op(deltas, feats, weights, key, kbits, starts, nchunks,
+                      valid):
+    """Differentiable self-keyed submanifold conv (no bias — add outside).
+
+    Valid for SYMMETRIC offset sets enumerated so that ``deltas[K-1-k] ==
+    -deltas[k]`` (K3_OFFSETS' z-fastest order satisfies this): the data
+    cotangent is then the same self-keyed conv with W'[k] = W[K-1-k]^T
+    over the identical key/bitmap pack — a hit (i, k) exists iff the hit
+    (i + d_k, K-1-k) does, because both endpoints are real in-range
+    voxels.  Matches the training direction of ME's submanifold convs
+    (reference minkunet.py:55-121 under train.py:39-151)."""
+    idk = deltas.index(0) if 0 in deltas else None
+    return gather_gemm_conv_sk(feats, weights, key,
+                               (kbits, starts, nchunks), valid, deltas,
+                               identity_k=idk)
+
+
+def _pallas_conv_sk_fwd(deltas, feats, weights, key, kbits, starts,
+                        nchunks, valid):
+    out = pallas_conv_sk_op(deltas, feats, weights, key, kbits, starts,
+                            nchunks, valid)
+    return out, (feats, weights, key, kbits, starts, nchunks, valid)
+
+
+def _pallas_conv_sk_bwd(deltas, res, g):
+    feats, weights, key, kbits, starts, nchunks, valid = res
+    g_m = jnp.where(valid[..., None], g, 0).astype(feats.dtype)
+    idk = deltas.index(0) if 0 in deltas else None
+    wb = jnp.flip(weights, axis=0).swapaxes(1, 2)
+    dfeats = gather_gemm_conv_sk(g_m, wb, key, (kbits, starts, nchunks),
+                                 valid, deltas, identity_k=idk)
+    dw = dw_gather_gemm_sk(feats, g_m, key, (kbits, starts, nchunks),
+                           deltas).astype(weights.dtype)
+
+    def f0(x):
+        return np.zeros(x.shape, jax.dtypes.float0)
+
+    return (dfeats.astype(feats.dtype), dw, f0(key), f0(kbits),
+            f0(starts), f0(nchunks), f0(valid))
+
+
+pallas_conv_sk_op.defvjp(_pallas_conv_sk_fwd, _pallas_conv_sk_bwd)
 
 
 # ------------------------------------------------------------- int8 path

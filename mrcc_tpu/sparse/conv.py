@@ -119,23 +119,35 @@ def conv_k3(feats, weights, level, bias=None, act_absmax=None):
     The Pallas route is differentiable: submanifold adjacency is symmetric,
     so the backward conv runs the SAME tiled map with W'[k] = W[26-k]^T
     (ops/conv_pallas.py custom VJP)."""
-    if level.nbr_sk is not None and _current_impl() == "pallas":
+    if level.nbr_sk is not None and _current_impl() in ("pallas",
+                                                        "pallas-int8"):
         # self-keyed: the one-hot is built from the level's sorted keys
-        # in-kernel — no tables were materialised (inference-only path)
-        from ..ops.conv_pallas import gather_gemm_conv_sk, sk_supported
+        # in-kernel — no tables were materialised.  Differentiable via the
+        # sk custom VJP (trainers self-key too); int8 engines run the
+        # quantized sk kernel (packed tables cover production levels).
+        from ..ops.conv_pallas import (gather_gemm_conv_sk_q8,
+                                       pallas_conv_sk_op, sk_supported)
         from ..ops.rank_pallas import pack_deltas
         from .hierarchy import K3_OFFSETS
 
         n = feats.shape[-2]
+        deltas = tuple(int(d) for d in pack_deltas(K3_OFFSETS))
+        kbits, starts, nchunks = level.nbr_sk
+        if _q8():
+            assert sk_supported(n, itemsize=1), (
+                f"self-keyed k3 pack built but int8 gate rejects n={n}")
+            return gather_gemm_conv_sk_q8(
+                feats, weights, level.key, level.nbr_sk, level.valid,
+                deltas=deltas, bias=bias, identity_k=13,
+                act_absmax=act_absmax)
         itemsize = jnp.dtype(feats.dtype).itemsize
         assert sk_supported(n, itemsize=itemsize), (
             "self-keyed k3 pack was built for this level but the conv's "
             f"dtype/shape (n={n}, itemsize={itemsize}) exceeds the "
             "self-keyed gate — build the hierarchy with tables instead")
-        return gather_gemm_conv_sk(
-            feats, weights, level.key, level.nbr_sk, level.valid,
-            deltas=tuple(int(d) for d in pack_deltas(K3_OFFSETS)),
-            bias=bias, identity_k=13)
+        out = pallas_conv_sk_op(deltas, feats, weights, level.key, kbits,
+                                starts, nchunks, level.valid)
+        return _with_bias(out, bias, level.valid, feats.dtype)
     if (level.nbr_tiled is not None
             and _pallas_route_tiled(feats, level.nbr_tiled)):
         if _q8():

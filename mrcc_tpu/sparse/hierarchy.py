@@ -77,14 +77,16 @@ def _use_rank_kernel(n_keys, n_queries) -> bool:
 
 def _use_self_keyed(n) -> bool:
     """Route k=3 neighbour resolution through the SELF-KEYED conv
-    (ops/conv_pallas.py): no tables at all.  bf16 inference only — the
-    gate mirrors conv_pallas.sk_supported with itemsize 2 (the engine's
-    compute dtype); training keeps the rank-table path (custom VJP)."""
-    if _current_impl() != "pallas":
+    (ops/conv_pallas.py): no tables at all.  The gate mirrors
+    conv_pallas.sk_supported (lane-packing included) at the impl's table
+    itemsize — 2 for bf16 'pallas' (fwd AND the custom-VJP training
+    direction), 1 for 'pallas-int8' quantized tables."""
+    impl = _current_impl()
+    if impl not in ("pallas", "pallas-int8"):
         return False
     from ..ops.conv_pallas import sk_supported
 
-    return sk_supported(n, itemsize=2)
+    return sk_supported(n, itemsize=1 if impl == "pallas-int8" else 2)
 
 
 def _neighbor_maps(off, key, valid, offsets, self_keyed=False):

@@ -48,6 +48,16 @@ def _np_oracle(keys, kbits, feats, w, deltas):
     return want
 
 
+def _np_tol():
+    """Tolerance vs the EXACT numpy oracle: tight in interpret mode; on
+    the chip the MXU's default f32 dot precision truncates inputs to
+    bf16 (~2^-8 relative), which the XLA-oracle comparisons share but an
+    exact numpy oracle does not."""
+    import jax
+
+    return 2e-4 if jax.default_backend() == "cpu" else 2e-2
+
+
 def test_sk_kernel_direct_chunked(rng):
     """Forced 128-wide window at t=256: matches land beyond the first
     window, so the position-partitioned chunk loop must stay exact."""
@@ -66,7 +76,8 @@ def test_sk_kernel_direct_chunked(rng):
         jnp.asarray(feats), jnp.asarray(w), jnp.asarray(keys), sk,
         jnp.ones((b, n), bool), deltas, identity_k=2, w_width=128))
     want = _np_oracle(keys, kbits, feats, w, deltas)
-    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+    tol = _np_tol()
+    np.testing.assert_allclose(got, want, rtol=tol, atol=tol)
 
 
 def _mk_cloud(rng, b=2, n_pts=1024):
@@ -116,16 +127,140 @@ def test_sk_hierarchy_matches_tables_and_xla(rng, cin, cout):
 
 
 def test_sk_gate_and_window():
-    assert sk_supported(512) and sk_supported(12544)
+    from mrcc_tpu.ops.conv_pallas import sk_pack, sk_window_packed
+
+    assert sk_pack(512) == 1 and sk_pack(12544) == 1
     assert not sk_supported(500)          # not 128-aligned
-    assert not sk_supported(12544, itemsize=4)  # f32 table over budget
-    assert not sk_supported(73728)        # production scale: lane-packed
+    assert sk_pack(12544, itemsize=4) == 2  # f32 over budget -> packed
+    # production scale (r5): lane-packed self-keying covers the big levels
+    assert sk_pack(73728) == 4            # bf16 pack 4 fits the budget
+    assert sk_pack(131072, itemsize=1) == 4  # int8 L0 at max_npoint range
+    assert not sk_supported(131072, itemsize=2)  # bf16 131k still tables
     assert sk_window(256, 512) == 384     # t + 128, capped at n's 128-floor
     assert sk_window(256, 256) == 256
+    assert sk_window_packed(256, 4, 4096) == 256   # ceil128(64 + 128)
+    assert sk_window_packed(256, 2, 4096) == 256
 
 
 def test_sk_hierarchy_gate_respects_impl(rng):
-    """Self-keying only engages under the pallas impl; xla/int8 builds
-    keep the tables even when the flag is passed."""
+    """Self-keying only engages under the pallas impls; xla builds keep
+    the tables even when the flag is passed (int8 self-keys since r5)."""
     lv = _mk_levels(_mk_cloud(rng), "xla", True)
     assert lv[0].nbr_sk is None and lv[0].nbr_idx is not None
+    lv8 = _mk_levels(_mk_cloud(rng), "pallas-int8", True)
+    assert lv8[0].nbr_sk is not None and lv8[0].nbr_idx is None
+
+
+# ------------------------------------------------- r5: packed / int8 / VJP
+
+
+def test_sk_kernel_packed_direct_chunked(rng):
+    """Forced pack=2 with a narrow RAW window (many chunks): the sub-major
+    packed compare + OR-merge + row-sum sub recovery must stay exact."""
+    b, n, cin, cout = 2, 1024, 32, 48
+    deltas = (-130, -65, -3, 0, 1, 130)
+    keys = np.stack([
+        np.sort(rng.choice(np.arange(4 * n), size=n, replace=False))
+        for _ in range(b)]).astype(np.int32)
+    kbits = rng.integers(0, 1 << len(deltas), size=(b, n)).astype(np.int32)
+    feats = rng.normal(size=(b, n, cin)).astype(np.float32)
+    w = (rng.normal(size=(len(deltas), cin, cout)) / 6).astype(np.float32)
+
+    sk = build_sk_maps(jnp.asarray(keys), jnp.asarray(kbits), deltas,
+                       w_width=128)
+    want = _np_oracle(keys, kbits, feats, w, deltas)
+    tol = _np_tol()
+    for pack in (2, 4):
+        got = np.asarray(gather_gemm_conv_sk(
+            jnp.asarray(feats), jnp.asarray(w), jnp.asarray(keys), sk,
+            jnp.ones((b, n), bool), deltas, w_width=128, pack=pack))
+        np.testing.assert_allclose(got, want, rtol=tol, atol=tol,
+                                   err_msg=f"pack={pack}")
+
+
+@pytest.mark.parametrize("pack", [1, 2])
+def test_sk_kernel_q8_direct(rng, pack):
+    """int8 self-keyed kernel vs the float oracle (quantization noise
+    bounded in relative norm, like the table-path q8 tests)."""
+    from mrcc_tpu.ops.conv_pallas import gather_gemm_conv_sk_q8
+
+    b, n, cin, cout = 2, 512, 64, 32
+    deltas = (-65, -3, 0, 1, 130)
+    keys = np.stack([
+        np.sort(rng.choice(np.arange(4 * n), size=n, replace=False))
+        for _ in range(b)]).astype(np.int32)
+    kbits = rng.integers(0, 1 << len(deltas), size=(b, n)).astype(np.int32)
+    feats = rng.normal(size=(b, n, cin)).astype(np.float32)
+    w = (rng.normal(size=(len(deltas), cin, cout)) / 6).astype(np.float32)
+
+    sk = build_sk_maps(jnp.asarray(keys), jnp.asarray(kbits), deltas,
+                       w_width=128)
+    got = np.asarray(gather_gemm_conv_sk_q8(
+        jnp.asarray(feats), jnp.asarray(w), jnp.asarray(keys), sk,
+        jnp.ones((b, n), bool), deltas, w_width=128, pack=pack)).astype(
+            np.float32)
+    want = _np_oracle(keys, kbits, feats, w, deltas)
+    err = np.linalg.norm(got - want) / max(np.linalg.norm(want), 1e-9)
+    assert err < 2e-2, err
+
+
+def test_sk_hierarchy_packed_budget(rng, monkeypatch):
+    """Shrunk VMEM budget forces the REQUIRED residency pack through the
+    full conv_k3 route (production-scale shape class)."""
+    from mrcc_tpu.ops import conv_pallas
+
+    cloud = _mk_cloud(rng)
+    lv_x = _mk_levels(cloud, "xla", False)
+    monkeypatch.setattr(conv_pallas, "_TABLE_BUDGET", 200 * 1024)
+    lv_sk = _mk_levels(cloud, "pallas", True, cap=512)
+    assert lv_sk[0].nbr_sk is not None
+    n = lv_sk[0].key.shape[1]
+    assert conv_pallas.sk_pack(n, itemsize=4) == 2
+
+    b = lv_sk[0].key.shape[0]
+    feats = jnp.asarray(rng.normal(size=(b, n, 96)), jnp.float32)
+    feats = jnp.where(lv_sk[0].valid[..., None], feats, 0)
+    w = jnp.asarray(rng.normal(size=(27, 96, 64)) / 10, jnp.float32)
+    with sparse_impl("pallas"):
+        got = np.asarray(C.conv_k3(feats, w, lv_sk[0]))
+    nx = lv_x[0].key.shape[1]
+    fx = jnp.zeros((b, nx, 96), jnp.float32)
+    fx = fx.at[:, :min(n, nx)].set(feats[:, :min(n, nx)])
+    with sparse_impl("xla"):
+        want = np.asarray(C.conv_k3(fx, w, lv_x[0]))
+    np.testing.assert_allclose(got[:, :min(n, nx)], want[:, :min(n, nx)],
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_sk_vjp_matches_xla_grads(rng):
+    """The self-keyed custom VJP (negated-delta symmetry backward + dW
+    kernel) must match XLA autodiff through the kernel-map conv."""
+    import jax
+
+    cloud = _mk_cloud(rng)
+    lv_sk = _mk_levels(cloud, "pallas", True)
+    lv_x = _mk_levels(cloud, "xla", False)
+    np.testing.assert_array_equal(np.asarray(lv_sk[0].key),
+                                  np.asarray(lv_x[0].key))
+    b, n = lv_sk[0].key.shape
+    cin, cout = 32, 48
+    feats = jnp.asarray(rng.normal(size=(b, n, cin)), jnp.float32)
+    feats = jnp.where(lv_sk[0].valid[..., None], feats, 0)
+    w = jnp.asarray(rng.normal(size=(27, cin, cout)) / 6, jnp.float32)
+    cot = jnp.asarray(rng.normal(size=(b, n, cout)), jnp.float32)
+
+    def loss_sk(f, ww):
+        with sparse_impl("pallas"):
+            return (C.conv_k3(f, ww, lv_sk[0]) * cot).sum()
+
+    def loss_x(f, ww):
+        with sparse_impl("xla"):
+            return (C.conv_k3(f, ww, lv_x[0]) * cot).sum()
+
+    df_sk, dw_sk = jax.grad(loss_sk, argnums=(0, 1))(feats, w)
+    df_x, dw_x = jax.grad(loss_x, argnums=(0, 1))(feats, w)
+    tol = 2e-3 if jax.default_backend() == "cpu" else 2e-2
+    np.testing.assert_allclose(np.asarray(df_sk), np.asarray(df_x),
+                               rtol=tol, atol=tol)
+    np.testing.assert_allclose(np.asarray(dw_sk), np.asarray(dw_x),
+                               rtol=tol, atol=tol)
