@@ -144,16 +144,87 @@ def certify_kernels():
                                    k3_self_keyed=True)
 
     lv_sk = mk_sk()
-    if lv_sk[0].nbr_sk is not None:
+    if lv_sk[0].nbr_sk is None:
+        # sk_supported(512, 2) always holds — a demoted gate here means
+        # the engine would silently route tables while the banner claims
+        # self-keyed coverage (ADVICE r4)
+        raise AssertionError(
+            "self-keyed gate unexpectedly demoted the certification "
+            "level — refusing to report a benchmark number")
+    with sparse_impl("pallas"):
+        got = np.asarray(C.conv_k3(
+            feats.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+            lv_sk[0])).astype(np.float32)
+    err = float(np.linalg.norm(got - want)) / wn
+    if err > 2e-2:
+        raise AssertionError(
+            f"compiled self-keyed conv off by {err:.4f} rel vs the "
+            "XLA oracle — refusing to report a benchmark number")
+
+    # int8 self-keyed kernel (production-scale engines route through it)
+    def mk_sk8():
+        with sparse_impl("pallas-int8"):
+            vox, _, _ = voxelize(pts, rgb, mask, 1 / 25.0, 768)
+            return build_hierarchy(vox, 2, capacities=(512, 256),
+                                   k3_self_keyed=True)
+
+    lv_sk8 = mk_sk8()
+    assert lv_sk8[0].nbr_sk is not None
+    with sparse_impl("pallas-int8"):
+        got8 = np.asarray(C.conv_k3(feats, w, lv_sk8[0])).astype(np.float32)
+    err8 = float(np.linalg.norm(got8 - want)) / wn
+    if err8 > 3e-2:
+        raise AssertionError(
+            f"compiled int8 self-keyed conv off by {err8:.4f} rel vs the "
+            "XLA oracle — refusing to report a benchmark number")
+
+    # packed self-keyed specialization (explicit pack — the auto plan only
+    # packs at budget/density thresholds these small shapes don't hit)
+    from mrcc_tpu.ops.conv_pallas import (build_sk_maps,
+                                          gather_gemm_conv_sk,
+                                          pallas_conv_sk_op)
+    from mrcc_tpu.ops.rank_pallas import pack_deltas, sk_bits
+    from mrcc_tpu.sparse.hierarchy import K3_OFFSETS
+
+    lv0 = lv_sk[0]
+    deltas = tuple(int(d) for d in pack_deltas(K3_OFFSETS))
+    bits = sk_bits(lv0.off, lv0.valid, K3_OFFSETS)
+    sk = build_sk_maps(lv0.key, bits, deltas)
+    fb = feats.astype(jnp.bfloat16)
+    wb = w.astype(jnp.bfloat16)
+    gotp = np.asarray(gather_gemm_conv_sk(
+        fb, wb, lv0.key, sk, lv0.valid, deltas, identity_k=13,
+        pack=2)).astype(np.float32)
+    errp = float(np.linalg.norm(gotp - want)) / wn
+    if errp > 2e-2:
+        raise AssertionError(
+            f"compiled PACKED self-keyed conv off by {errp:.4f} rel vs "
+            "the XLA oracle — refusing to report a benchmark number")
+
+    # self-keyed backward (training direction): dfeats/dW vs XLA autodiff
+    cot = jnp.asarray(rng.normal(size=want.shape), jnp.float32)
+
+    def loss_sk(f, ww):
         with sparse_impl("pallas"):
-            got = np.asarray(C.conv_k3(
-                feats.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
-                lv_sk[0])).astype(np.float32)
-        err = float(np.linalg.norm(got - want)) / wn
-        if err > 2e-2:
+            return (pallas_conv_sk_op(deltas, f, ww, lv0.key, *sk,
+                                      lv0.valid) * cot).sum()
+
+    def loss_x(f, ww):
+        with sparse_impl("xla"):
+            return (C.conv_k3(f, ww, lv_x[0]) * cot).sum()
+
+    df_sk, dw_sk = jax.grad(loss_sk, argnums=(0, 1))(
+        feats, w.astype(jnp.float32))
+    df_x, dw_x = jax.grad(loss_x, argnums=(0, 1))(
+        feats, w.astype(jnp.float32))
+    for name, a_, b_ in (("dfeats", df_sk, df_x), ("dW", dw_sk, dw_x)):
+        rel = (float(jnp.linalg.norm((a_ - b_).astype(jnp.float32)))
+               / max(float(jnp.linalg.norm(b_.astype(jnp.float32))), 1e-9))
+        if rel > 2e-2:
             raise AssertionError(
-                f"compiled self-keyed conv off by {err:.4f} rel vs the "
-                "XLA oracle — refusing to report a benchmark number")
+                f"compiled self-keyed backward {name} off by {rel:.4f} "
+                "rel vs XLA autodiff — refusing to report a benchmark "
+                "number")
 
     # the wide-bcast (octant/up) mode compiles a DIFFERENT kernel
     # specialization — certify it too (it shipped its first compiled run
@@ -178,7 +249,8 @@ def certify_kernels():
                 f"compiled {impl} up-transpose off by {err:.4f} rel vs "
                 "the XLA oracle — refusing to report a benchmark number")
     print("# on-chip kernel certification passed (rank, bf16/int8 conv, "
-          "self-keyed conv, bf16/int8 up-transpose)", file=sys.stderr)
+          "self-keyed conv fwd/packed/int8/backward, bf16/int8 "
+          "up-transpose)", file=sys.stderr)
 
 
 def main():

@@ -134,10 +134,12 @@ class InferenceConfig:
     # a stray mislabeled EE voxel moves a hard min by centimetres
     translation_z_percentile: typing.Optional[float] = None
     # self-keyed k3 convs (no neighbour tables; ops/conv_pallas.py):
-    # skips the rank-kernel table build on every level the gate accepts —
-    # bf16 Pallas inference only (int8 engines keep tables; the bf16
-    # rotation stage of an int8 engine does self-key)
-    k3_self_keyed: bool = False
+    # skips the rank-kernel k3 table build on every level the per-impl
+    # gate accepts (bf16 unpacked/packed, int8 packed to production
+    # capacities).  Default ON since r5: certified on-chip, +15% headline
+    # throughput, differentiable (custom VJP) — non-Pallas impls and f32
+    # compute dtypes demote automatically
+    k3_self_keyed: bool = True
     compute_dtype: str = "bfloat16"  # conv-path compute (f32 accumulation)
     # sparse-conv implementation: 'auto' = Pallas windowed gather-GEMM on
     # TPU (ops/conv_pallas.py), XLA gathers elsewhere; or force
@@ -379,10 +381,13 @@ class InferenceEngine:
 
     @property
     def _k3_sk(self) -> bool:
-        """Self-keyed k3 routing, guarded to bf16 compute: the build-time
-        gate (hierarchy._use_self_keyed) sizes key windows for itemsize-2
-        feature tables — an f32 engine at headline capacities would pass
-        the build gate but trip conv_k3's per-dtype assert."""
+        """Self-keyed k3 routing, guarded to bf16 compute dtype: the
+        build-time gate (hierarchy._use_self_keyed) resolves per-impl
+        (itemsize 2 for 'pallas', 1 for 'pallas-int8' — each stage's
+        hierarchy builds inside its own impl context, so an int8 engine's
+        demoted bf16 rotation stage gates itself correctly), but an f32
+        engine would pass the itemsize-2 build gate and trip conv_k3's
+        per-dtype assert — f32 engines keep tables."""
         return (self.cfg.k3_self_keyed
                 and jnp.dtype(self.cfg.compute_dtype).itemsize == 2)
 

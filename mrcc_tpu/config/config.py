@@ -207,6 +207,9 @@ class Config:
                                             False),
             rot_symmetry_axis=inf.get("rot_symmetry_axis", "z"),
             translation_z_percentile=inf.get("translation_z_percentile"),
+            # self-keyed k3 convs (ops/conv_pallas.py; default ON — the
+            # benchmarked engine configuration is reproducible from YAML)
+            k3_self_keyed=inf.get("k3_self_keyed", True),
         )
 
 

@@ -623,9 +623,14 @@ def _sk_plan(n, c, itemsize):
     hardware (same perf-only rule as _split_plan)."""
     pack = sk_pack(n, itemsize)
     assert pack is not None, (n, itemsize)
-    perf_shapes = (not _interpret()
-                   and os.environ.get("MRCC_CONV_PLAN", "") != "plain")
-    if pack == 1 and c <= 64 and perf_shapes:
+    # NO density packing by default (unlike _split_plan): a packed sk conv
+    # runs ``pack`` window-key compares + a sub-index row-sum per offset
+    # where the packed TABLE conv runs one compare on the shifted index —
+    # measured net-negative (headline bench 40.7 -> 39.7 with density
+    # packs; production probe_prod_sk).  MRCC_SK_DENSITY=1 re-enables for
+    # experiments.
+    if (pack == 1 and c <= 64 and not _interpret()
+            and os.environ.get("MRCC_SK_DENSITY", "0") == "1"):
         sub = 32 if c <= 32 else 64
         p = 128 // sub
         if n % (128 * p) == 0 and n // p >= 128:

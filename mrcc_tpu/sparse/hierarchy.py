@@ -84,9 +84,15 @@ def _use_self_keyed(n) -> bool:
     impl = _current_impl()
     if impl not in ("pallas", "pallas-int8"):
         return False
-    from ..ops.conv_pallas import sk_supported
+    from ..ops.conv_pallas import sk_pack
 
-    return sk_supported(n, itemsize=1 if impl == "pallas-int8" else 2)
+    # UNPACKED levels only: residency-packed sk convs pay pack-fold extra
+    # key compares on EVERY conv of the level, measured to exceed the
+    # one-off table-build saving at production scale (probe_prod_sk, r5:
+    # int8 72448-row level — hier -34 ms vs U-Net +61 ms).  Packed levels
+    # keep the rank tables; the packed sk kernel remains available for
+    # explicit use (ops/conv_pallas.py).
+    return sk_pack(n, itemsize=1 if impl == "pallas-int8" else 2) == 1
 
 
 def _neighbor_maps(off, key, valid, offsets, self_keyed=False):

@@ -56,6 +56,14 @@ class LossConfig:
     angle_diff_threshold: float = 0.24
     angle_diff_ignore_threshold: float = 0.4
     ignore_label: int = -100
+    # symmetry-aware rotation term (r5, VERDICT r4 #7): when set ('x' |
+    # 'y' | 'z'), the COS2_6D rotation/confidence terms take the BETTER of
+    # the label quaternion and its 180°-about-axis body-frame flip — the
+    # two-finger gripper is ~invariant under the z flip, so forcing one
+    # branch creates the bimodal tail the r4 held-out runs measured (max
+    # 0.55 rad).  Train-time twin of solve/symmetry.py's test-time
+    # disambiguation; the reference has no equivalent.
+    symmetry_flip_axis: Optional[str] = None
 
 
 def _reduce(x, reduction):
@@ -145,6 +153,27 @@ def cos2_loss(y, y_pred, cfg: LossConfig, **_):
     return loss_rot + loss_coor + loss_conf
 
 
+_FLIP_Q = {"x": (0.0, 1.0, 0.0, 0.0),
+           "y": (0.0, 0.0, 1.0, 0.0),
+           "z": (0.0, 0.0, 0.0, 1.0)}
+
+
+def _symmetry_label(y_q, q_pred, axis):
+    """Per-item better branch of the label under the 180°-about-``axis``
+    body-frame flip: argmax_b |<y_q ∘ flip_b, q_pred>| (b in {id, flip}).
+
+    WXYZ body-frame post-multiply — the convention of
+    solve/symmetry.py::disambiguate_flip (its test-time twin)."""
+    from ..geometry.quaternion import qmul
+
+    flip = jnp.broadcast_to(jnp.asarray(_FLIP_Q[axis], y_q.dtype),
+                            y_q.shape)
+    y_flip = qmul(y_q, flip)
+    i0 = jnp.abs(jnp.sum(y_q * q_pred, axis=-1, keepdims=True))
+    i1 = jnp.abs(jnp.sum(y_flip * q_pred, axis=-1, keepdims=True))
+    return jnp.where(i1 > i0, y_flip, y_q)
+
+
 def cos2_6d_loss(y, y_pred, cfg: LossConfig, **_):
     """cos2 with a continuous 6D rotation head (opt-in, ROADMAP #8).
 
@@ -153,21 +182,29 @@ def cos2_6d_loss(y, y_pred, cfg: LossConfig, **_):
     and compared to the label rotation geodesically; position and the
     optional confidence heads reuse the cos2 machinery on the converted
     quaternion (so thresholds keep the reference semantics,
-    loss.py:74-116)."""
+    loss.py:74-116).  With ``symmetry_flip_axis`` set, the rotation AND
+    confidence terms target the better gripper-symmetry branch
+    (stop-gradient branch choice)."""
     q_pred = rot6d_to_quat(y_pred[:, 3:9])
+    y_q = qnormalize(y[:, 3:7])
+    if cfg.symmetry_flip_axis is not None:
+        y_q = jax.lax.stop_gradient(
+            _symmetry_label(y_q, q_pred, cfg.symmetry_flip_axis))
     loss_coor = 0.0
     if not cfg.disable_position:
         loss_coor = _mse(y[:, :3], y_pred[:, :3], cfg.reduction)
     loss_rot = 0.0
     if not cfg.disable_orientation:
         # |<q1, q2>| is cos(theta/2): sign-invariant smooth geodesic proxy
-        inner = jnp.abs(jnp.sum(qnormalize(y[:, 3:7]) * q_pred, axis=-1))
+        inner = jnp.abs(jnp.sum(y_q * q_pred, axis=-1))
         loss_rot = 2.0 * _reduce(1.0 - inner, cfg.reduction)
 
     loss_conf = 0.0
     if cfg.compute_confidence:
+        y_sym = (y[:, :7] if cfg.symmetry_flip_axis is None
+                 else jnp.concatenate([y[:, :3], y_q], axis=-1))
         y_pred7 = jnp.concatenate([y_pred[:, :3], q_pred], axis=-1)
-        _, dist_position, _, angle_diff = compute_pose_dist(y[:, :7],
+        _, dist_position, _, angle_diff = compute_pose_dist(y_sym,
                                                             y_pred7)
         pos_idx = (dist_position < cfg.position_threshold) | (
             dist_position > cfg.position_ignore_threshold)

@@ -49,6 +49,11 @@ class TrainConfig:
     # elsewhere.  The reference's main workload is the training hot loop
     # (train.py:39-151) — it must run the kernel path, not only inference.
     conv_impl: str = "auto"
+    # self-keyed k3 convs for the train step (r5): no per-step k3 table
+    # builds — the sk custom VJP (pallas_conv_sk_op) carries the backward
+    # through the negated-delta symmetry.  Gated per level by
+    # hierarchy._use_self_keyed; non-Pallas impls ignore it.
+    k3_self_keyed: bool = True
 
 
 def resolve_conv_impl(name: str) -> str:
@@ -148,7 +153,8 @@ def make_pose_train_step(model, data_cfg, loss_cfg: LossConfig,
       with sparse_impl(impl):
         vox, _, _ = voxelize(batch["points"], batch["feats"], batch["mask"],
                              qsize, voxel_capacity)
-        levels = build_hierarchy(vox, 4, capacities=caps)
+        levels = build_hierarchy(vox, 4, capacities=caps,
+                                 k3_self_keyed=train_cfg.k3_self_keyed)
         coords = vox.coords().astype(jnp.float32)
         ja = batch.get("joint_angles") if use_joint_angles else None
 
@@ -203,7 +209,8 @@ def make_segmentation_train_step(model, data_cfg, train_cfg: TrainConfig,
             batch["points"], batch["feats"], batch["mask"], qsize,
             voxel_capacity, labels=batch["labels"],
             ignore_label=ignore_label)
-        levels = build_hierarchy(vox, 4, capacities=caps)
+        levels = build_hierarchy(vox, 4, capacities=caps,
+                                 k3_self_keyed=train_cfg.k3_self_keyed)
 
         def loss_fn(params):
             logits, updates = model.apply(

@@ -79,6 +79,13 @@ def main():
     ap.add_argument("--flip-disambiguation", action="store_true",
                     help="enable the keypoint-guided gripper-symmetry "
                          "flip stage (solve/symmetry.py, ROADMAP r5 #2)")
+    ap.add_argument("--symmetry-loss", action="store_true",
+                    help="symmetry-aware rotation loss: the 6D/cos2 "
+                         "rotation term takes the better 180-about-z "
+                         "branch (train-time twin of the flip stage)")
+    ap.add_argument("--no-k3-self-keyed", action="store_true",
+                    help="disable self-keyed k3 convs in the benchmark "
+                         "engine (r5 default is ON)")
     ap.add_argument("--z-percentile", type=float, default=None,
                     help="percentile-z translation instead of the "
                          "reference's hard min-z (ROADMAP r5 #3)")
@@ -159,7 +166,9 @@ def main():
         rot_model, rot_cfg,
         LossConfig(loss_type=(LossType.COS2_6D if args.rot_6d
                               else LossType.COS2),
-                   compute_confidence=args.confidence), rtc,
+                   compute_confidence=args.confidence,
+                   symmetry_flip_axis=("z" if args.symmetry_loss
+                                       else None)), rtc,
         voxel_capacity=2048)
     rtrainer = Trainer(rot_model, rot_ds, rstep, ropt, rtc, mesh=mesh,
                        exp_path=f"{args.out}/rotation", exp_name="rot")
@@ -214,6 +223,7 @@ def main():
         rot_6d=args.rot_6d, compute_confidence=args.confidence,
         rot_flip_disambiguation=args.flip_disambiguation,
         translation_z_percentile=args.z_percentile,
+        k3_self_keyed=not args.no_k3_self_keyed,
         # synthetic EE crops carry ~2048 points; the reference's 2048-point
         # confidence gate would reject everything at ~90% seg recall
         sanity_min_num_of_ee_points=1024)
@@ -261,7 +271,12 @@ def main():
                           "pose_batch": args.pose_batch or args.batch,
                           "backbone": args.backbone,
                           "rot_6d": args.rot_6d,
-                          "confidence": args.confidence}}
+                          "confidence": args.confidence,
+                          "k3_self_keyed": not args.no_k3_self_keyed,
+                          "rot_flip_disambiguation":
+                              args.flip_disambiguation,
+                          "translation_z_percentile": args.z_percentile,
+                          "symmetry_loss": args.symmetry_loss}}
         Path(args.json_out).parent.mkdir(parents=True, exist_ok=True)
         with open(args.json_out, "w") as fp:
             json.dump(out, fp, indent=2)

@@ -204,32 +204,38 @@ def test_sk_kernel_q8_direct(rng, pack):
     assert err < 2e-2, err
 
 
-def test_sk_hierarchy_packed_budget(rng, monkeypatch):
-    """Shrunk VMEM budget forces the REQUIRED residency pack through the
-    full conv_k3 route (production-scale shape class)."""
+def test_sk_packed_budget_plan(rng, monkeypatch):
+    """Shrunk VMEM budget makes the sk PLAN pick the residency pack
+    (pack=None -> auto), over a real voxel hierarchy's keys/bitmaps —
+    the production-scale shape class.  The HIERARCHY gate deliberately
+    rejects packed levels (tables measured faster there), so the pack is
+    built explicitly here."""
     from mrcc_tpu.ops import conv_pallas
+    from mrcc_tpu.ops.rank_pallas import pack_deltas, sk_bits
+    from mrcc_tpu.sparse.hierarchy import K3_OFFSETS
 
     cloud = _mk_cloud(rng)
-    lv_x = _mk_levels(cloud, "xla", False)
-    monkeypatch.setattr(conv_pallas, "_TABLE_BUDGET", 200 * 1024)
-    lv_sk = _mk_levels(cloud, "pallas", True, cap=512)
-    assert lv_sk[0].nbr_sk is not None
-    n = lv_sk[0].key.shape[1]
-    assert conv_pallas.sk_pack(n, itemsize=4) == 2
-
-    b = lv_sk[0].key.shape[0]
-    feats = jnp.asarray(rng.normal(size=(b, n, 96)), jnp.float32)
-    feats = jnp.where(lv_sk[0].valid[..., None], feats, 0)
-    w = jnp.asarray(rng.normal(size=(27, 96, 64)) / 10, jnp.float32)
+    lv_p = _mk_levels(cloud, "pallas", False, cap=512)
+    lv0 = lv_p[0]
+    n = lv0.key.shape[1]
+    monkeypatch.setattr(conv_pallas, "_TABLE_BUDGET", 100 * 1024)
+    assert conv_pallas.sk_pack(n, itemsize=4) == 4
+    from mrcc_tpu.sparse.hierarchy import _use_self_keyed
     with sparse_impl("pallas"):
-        got = np.asarray(C.conv_k3(feats, w, lv_sk[0]))
-    nx = lv_x[0].key.shape[1]
-    fx = jnp.zeros((b, nx, 96), jnp.float32)
-    fx = fx.at[:, :min(n, nx)].set(feats[:, :min(n, nx)])
-    with sparse_impl("xla"):
-        want = np.asarray(C.conv_k3(fx, w, lv_x[0]))
-    np.testing.assert_allclose(got[:, :min(n, nx)], want[:, :min(n, nx)],
-                               rtol=2e-4, atol=2e-4)
+        assert not _use_self_keyed(n)      # packed levels keep tables
+
+    deltas = tuple(int(d) for d in pack_deltas(K3_OFFSETS))
+    bits = sk_bits(lv0.off, lv0.valid, K3_OFFSETS)
+    sk = build_sk_maps(lv0.key, bits, deltas)
+    b = lv0.key.shape[0]
+    feats = jnp.asarray(rng.normal(size=(b, n, 96)), jnp.float32)
+    feats = jnp.where(lv0.valid[..., None], feats, 0)
+    w = jnp.asarray(rng.normal(size=(27, 96, 64)) / 10, jnp.float32)
+    got = np.asarray(gather_gemm_conv_sk(
+        feats, w, lv0.key, sk, lv0.valid, deltas, identity_k=13))
+    with sparse_impl("pallas"):
+        want = np.asarray(C.conv_k3(feats, w, lv0))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
 def test_sk_vjp_matches_xla_grads(rng):

@@ -198,3 +198,114 @@ class TestFleetTwoProcess:
         # batch) — same tolerance as the in-process mesh tests
         np.testing.assert_allclose(out1["ee_pose"], pose, atol=1e-2)
         np.testing.assert_array_equal(out1["kp_found"], found)
+
+
+def fleet_train_setup(n_steps=3):
+    """Shared deterministic training setup for the 2-process fleet
+    TRAINING test: (jitted step, init state, numpy global batch, n_steps).
+    Both workers and the in-process oracle must build identical pieces
+    (seeded sample generation + PRNGKey(0) init)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mrcc_tpu.data import AliveV2Dataset, DataConfig
+    from mrcc_tpu.data.synthetic import generate_sample
+    from mrcc_tpu.models import RobotNetSegmentation
+    from mrcc_tpu.sparse import build_hierarchy, voxelize
+    from mrcc_tpu.train import TrainConfig, make_segmentation_train_step
+    from mrcc_tpu.train.trainer import TrainState
+
+    cfg = DataConfig(data_type=None, max_points=1024, scale=200,
+                     center_at_origin=True)
+    samples = [generate_sample(seed=700 + i, n_ee=160, n_arm=256, n_bg=512)
+               for i in range(8)]
+    ds = AliveV2Dataset(samples=samples, cfg=cfg)
+    batch = ds.collate([ds[i] for i in range(8)])
+    batch_np = {k: np.asarray(v) for k, v in batch.items()
+                if hasattr(v, "shape") and k in ("points", "feats", "mask",
+                                                 "labels")}
+
+    model = RobotNetSegmentation(backbone="minkunet14A", in_channels=3,
+                                 num_classes=3)
+    tc = TrainConfig(lr=1e-3, batch_size=8, epochs=1, conv_impl="xla")
+    step, opt = make_segmentation_train_step(model, cfg, tc,
+                                             voxel_capacity=512)
+
+    vox, _, _ = voxelize(jnp.asarray(batch_np["points"][:1]),
+                         jnp.asarray(batch_np["feats"][:1]),
+                         jnp.asarray(batch_np["mask"][:1]),
+                         cfg.quantization_size, 256)
+    levels = build_hierarchy(vox, 4, capacities=(128, 64, 64, 64))
+    variables = model.init(jax.random.PRNGKey(0), vox.feats, levels)
+    state0 = TrainState(params=variables["params"],
+                        batch_stats=variables.get("batch_stats", {}),
+                        opt_state=opt.init(variables["params"]))
+    return step, state0, batch_np, n_steps
+
+
+@pytest.mark.slow
+class TestFleetTwoProcessTraining:
+    """REAL 2-process data-parallel TRAINING (VERDICT r4 #6): workers feed
+    their local half of the global batch through the sharded train step;
+    psum-averaged gradients must leave both processes with identical
+    replicated parameters, matching a single-process run."""
+
+    def test_two_process_training_matches_single(self, tmp_path):
+        import socket
+        import subprocess
+        import sys as _sys
+
+        import jax
+        import jax.numpy as jnp
+
+        step, state0, batch_np, n_steps = fleet_train_setup()
+        state = state0
+        losses1 = []
+        jbatch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+        for _ in range(n_steps):
+            state, metrics = jax.jit(step)(state, jbatch, 1e-3)
+            losses1.append(float(metrics["loss"]))
+        pnorm1 = float(jnp.sqrt(sum(
+            jnp.sum(x.astype(jnp.float32) ** 2)
+            for x in jax.tree_util.tree_leaves(state.params))))
+
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+
+        worker = str((__import__("pathlib").Path(__file__).parent
+                      / "fleet_worker.py"))
+        procs, outs = [], []
+        for rank in range(2):
+            out_npz = tmp_path / f"fleet_train_{rank}.npz"
+            outs.append(out_npz)
+            env = dict(os.environ)
+            env.update({
+                "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
+                "JAX_NUM_PROCESSES": "2",
+                "JAX_PROCESS_ID": str(rank),
+                "FLEET_OUT": str(out_npz),
+                "FLEET_MODE": "train",
+            })
+            env.pop("MRCC_TEST_TPU", None)
+            procs.append(subprocess.Popen(
+                [_sys.executable, worker], env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True))
+        logs = []
+        for p in procs:
+            log, _ = p.communicate(timeout=900)
+            logs.append(log)
+        for p, log in zip(procs, logs):
+            assert p.returncode == 0, log[-4000:]
+
+        d0, d1 = (np.load(o) for o in outs)
+        # replicated end state: both processes agree bit-for-bit
+        np.testing.assert_array_equal(d0["losses"], d1["losses"])
+        assert float(d0["param_norm"]) == float(d1["param_norm"])
+        # vs the single-process oracle: same global math, per-shard f32
+        # reduction order differs
+        np.testing.assert_allclose(d0["losses"], np.asarray(losses1),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(float(d0["param_norm"]), pnorm1,
+                                   rtol=1e-4)

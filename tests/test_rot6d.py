@@ -127,3 +127,46 @@ def _levels(pts, feats, mask):
 
     vox, _, _ = voxelize(pts, feats, mask, 1 / 50.0, 256)
     return build_hierarchy(vox, 4, capacities=(128, 64, 64, 64))
+
+
+def test_cos2_6d_symmetry_flip_loss(rng):
+    """Symmetry-aware rotation term (r5): a prediction equal to the
+    FLIPPED label (180° about body z) incurs ~zero rotation loss when
+    symmetry_flip_axis='z', full loss without it; a genuinely-wrong
+    rotation still pays under both."""
+    from mrcc_tpu.geometry.quaternion import qmul
+    from mrcc_tpu.train.losses import LossConfig, LossType, get_criterion
+
+    n = 16
+    q = jnp.asarray(random_quats(rng, n), jnp.float32)
+    pos = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+    y = jnp.concatenate([pos, q], axis=-1)
+
+    flip_z = jnp.broadcast_to(jnp.asarray([0., 0., 0., 1.], jnp.float32),
+                              q.shape)
+    q_flip = qmul(q, flip_z)
+    m = quat_to_matrix(q_flip)
+    r6_flip = jnp.concatenate([m[..., :, 0], m[..., :, 1]], axis=-1)
+    y_pred = jnp.concatenate([pos, r6_flip], axis=-1)
+
+    plain = get_criterion(LossConfig(loss_type=LossType.COS2_6D))
+    symm = get_criterion(LossConfig(loss_type=LossType.COS2_6D,
+                                    symmetry_flip_axis="z"))
+    assert float(symm(y, y_pred)) < 1e-3
+    assert float(plain(y, y_pred)) > 0.5
+
+    # exact label: both near zero
+    m0 = quat_to_matrix(q)
+    r6 = jnp.concatenate([m0[..., :, 0], m0[..., :, 1]], axis=-1)
+    y_true = jnp.concatenate([pos, r6], axis=-1)
+    assert float(symm(y, y_true)) < 1e-3
+    assert float(plain(y, y_true)) < 1e-3
+
+    # a 90° x-rotation away is wrong under BOTH branches
+    qx90 = jnp.broadcast_to(
+        jnp.asarray([np.cos(np.pi / 4), np.sin(np.pi / 4), 0., 0.],
+                    jnp.float32), q.shape)
+    mw = quat_to_matrix(qmul(q, qx90))
+    r6w = jnp.concatenate([mw[..., :, 0], mw[..., :, 1]], axis=-1)
+    y_wrong = jnp.concatenate([pos, r6w], axis=-1)
+    assert float(symm(y, y_wrong)) > 0.2
