@@ -74,9 +74,13 @@ _MISS = -(1 << 30)
 def _pick_tile(n: int) -> int:
     # prefer 256-row tiles: per-grid-step orchestration was measured at
     # ~2-3 us/step (scripts: /tmp probe decomposition, round 3) — halving
-    # the step count is ~1 ms/call on the big levels
+    # the step count is ~1 ms/call on the big levels.  MRCC_CONV_TILE
+    # caps the tile for experiments: window width is T + slack, so gather
+    # FLOPs per output row scale with (T + slack)/T — smaller tiles trade
+    # orchestration steps for narrower windows (r5 probe).
+    cap = int(os.environ.get("MRCC_CONV_TILE", "256"))
     for t in (256, 128, 64, 32, 16, 8):
-        if n % t == 0 and n >= t:
+        if t <= cap and n % t == 0 and n >= t:
             return t
     return 0
 
