@@ -95,9 +95,12 @@ def default_window(t: int, n: int) -> int:
     exactness for the tail of wider-span tiles.  (W = T + 128 paid 17%
     more gather FLOPs on every offset to shave chunk-loop iterations that
     occur on only a few (offset, tile) pairs; W = 2T before that paid
-    double.)"""
+    double.)  MRCC_CONV_WSLACK overrides the slack for experiments
+    (exactness is unconditional either way — only the chunk-loop
+    frequency moves)."""
+    slack = int(os.environ.get("MRCC_CONV_WSLACK", "64"))
     n8 = n - (n % 8)
-    return max(8, min(max(t + 64, 128), n8))
+    return max(8, min(max(t + slack, 128), n8))
 
 
 def packed_window(t: int, pack: int, n_p: int) -> int:
@@ -773,14 +776,16 @@ def _gather_gemm_call_sk(starts, nchunks, keys, kpk, kbits, feats, w_grp,
     Submanifold: n_out == N (the query tile IS the key tile).
     """
     b, n_p, c_all = feats.shape
-    n = keys.shape[-1]
+    n_win = kpk.shape[1] * kpk.shape[2]
+    n_q = keys.shape[-1]
     k_real = len(deltas)
-    nt = n // t
+    nt = n_q // t
     w_raw = w_raw or w
-    assert _interpret() or (t % 128 == 0 and w % 128 == 0 and n % 128 == 0)
-    assert n_p * pack == n and c_all % pack == 0
+    assert _interpret() or (t % 128 == 0 and w % 128 == 0
+                            and n_win % 128 == 0 and n_q % 128 == 0)
+    assert n_p * pack == n_win and c_all % pack == 0
 
-    gather = _sk_gather_factory(t, w, n, w_raw, pack, n_p, deltas)
+    gather = _sk_gather_factory(t, w, n_win, w_raw, pack, n_p, deltas)
 
     def kernel(starts_ref, nchunks_ref, keys_ref, kpk_ref, kbits_ref,
                feats_ref, w_ref, out_ref, gall_ref):
@@ -792,7 +797,7 @@ def _gather_gemm_call_sk(starts, nchunks, keys, kpk, kbits, feats, w_grp,
         for j in range(k_real):
             if identity_k == j and pack == 1:
                 # delta == 0 resolves to the tile's own rows (padding rows
-                # are zero by the sparse-core invariant)
+                # are zero by the sparse-core invariant; submanifold only)
                 qv2 = (((kb >> j) & 1)[:, None]) != 0
                 rows = feats_ref[0, pl.ds(ti * t, t), :]
                 gall_ref[:, j * c_all:(j + 1) * c_all] = jnp.where(
@@ -810,7 +815,7 @@ def _gather_gemm_call_sk(starts, nchunks, keys, kpk, kbits, feats, w_grp,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b, nt),
-        in_specs=_sk_in_specs(n, n_p, pack, c_all) + [
+        in_specs=_sk_in_specs(n_q, n_p, pack, c_all) + [
             pl.BlockSpec((1, k_real * c_all, cout), lambda bi, ti, s1, s2:
                          (0, 0, 0), memory_space=pltpu.VMEM),
         ],
@@ -820,7 +825,7 @@ def _gather_gemm_call_sk(starts, nchunks, keys, kpk, kbits, feats, w_grp,
     )
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, n, cout), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((b, n_q, cout), out_dtype),
         grid_spec=grid_spec,
         interpret=_interpret(),
     )(starts, nchunks, keys[:, None, :], kpk, kbits[:, None, :], feats,
@@ -839,14 +844,16 @@ def _gather_gemm_call_sk_q8(starts, nchunks, keys, kpk, kbits, feats_q,
     with ONE f32 per-output-column dequant scale (``vco`` [1, 1, Cout]).
     Same layout contract as :func:`_gather_gemm_call_sk`."""
     b, n_p, c_all = feats_q.shape
-    n = keys.shape[-1]
+    n_win = kpk.shape[1] * kpk.shape[2]
+    n_q = keys.shape[-1]
     k_real = len(deltas)
-    nt = n // t
+    nt = n_q // t
     w_raw = w_raw or w
-    assert _interpret() or (t % 128 == 0 and w % 128 == 0 and n % 128 == 0)
-    assert n_p * pack == n and c_all % pack == 0
+    assert _interpret() or (t % 128 == 0 and w % 128 == 0
+                            and n_win % 128 == 0 and n_q % 128 == 0)
+    assert n_p * pack == n_win and c_all % pack == 0
 
-    gather = _sk_gather_factory(t, w, n, w_raw, pack, n_p, deltas)
+    gather = _sk_gather_factory(t, w, n_win, w_raw, pack, n_p, deltas)
 
     def kernel(starts_ref, nchunks_ref, keys_ref, kpk_ref, kbits_ref,
                feats_ref, w_ref, vco_ref, out_ref, gall_ref):
@@ -877,7 +884,7 @@ def _gather_gemm_call_sk_q8(starts, nchunks, keys, kpk, kbits, feats_q,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b, nt),
-        in_specs=_sk_in_specs(n, n_p, pack, c_all) + [
+        in_specs=_sk_in_specs(n_q, n_p, pack, c_all) + [
             pl.BlockSpec((1, k_real * c_all, cout), lambda bi, ti, s1, s2:
                          (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, cout), lambda bi, ti, s1, s2: (0, 0, 0),
@@ -889,7 +896,7 @@ def _gather_gemm_call_sk_q8(starts, nchunks, keys, kpk, kbits, feats_q,
     )
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, n, cout), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((b, n_q, cout), out_dtype),
         grid_spec=grid_spec,
         interpret=_interpret(),
     )(starts, nchunks, keys[:, None, :], kpk, kbits[:, None, :], feats_q,

@@ -61,16 +61,29 @@ def largest_cluster_mask(points, mask, dist=0.06, capacity=2048,
 
     init = jnp.where(ok, jnp.arange(c, dtype=jnp.int32), c)
 
-    def sweep(labels, _):
+    def sweep(labels):
         nbr_min = jnp.min(jnp.where(adj, labels[None, :], c), axis=1)
         new = jnp.minimum(labels, nbr_min)
         # pointer jumping: a label is itself a row index, so hop to that
         # row's label — O(diameter) convergence becomes O(log diameter)
         hop = new[jnp.minimum(new, c - 1)]
         new = jnp.minimum(new, jnp.where(new < c, hop, c))
-        return new, None
+        return new
 
-    labels, _ = jax.lax.scan(sweep, init, None, length=iterations)
+    # run to the FIXED POINT with an early exit (r5): real clouds converge
+    # in ~4-6 sweeps; ``iterations`` stays the hard cap.  Same fixpoint as
+    # the unconditional scan — while_loop is fine here (inference-only,
+    # never differentiated).
+    def cond(carry):
+        labels, prev_done, it = carry
+        return (~prev_done) & (it < iterations)
+
+    def body(carry):
+        labels, _, it = carry
+        new = sweep(labels)
+        return new, jnp.all(new == labels), it + 1
+
+    labels, _, _ = jax.lax.while_loop(cond, body, (init, False, 0))
 
     sizes = jax.ops.segment_sum(ok.astype(jnp.float32), labels,
                                 num_segments=c + 1)
