@@ -191,11 +191,23 @@ def _downsample_sort(off, valid, stride=2):
     return argsort_keys(p_key)
 
 
-def _downsample_one(off, valid, skey, order, capacity, stride=2):
+def _downsample_one(off, valid, skey, order, capacity, stride=2,
+                    child_table=False):
     """Unique parent voxels (stride-s floor division) for one item, over a
     presorted parent-key permutation from :func:`_downsample_sort`.
 
-    Returns (parent SparseVoxels-like fields, parent_idx [N], octant [N]).
+    Returns (parent SparseVoxels-like fields, parent_idx [N], octant [N]
+    [, child_idx [8, Np], child_hit [8, Np] when ``child_table``]).
+
+    ``child_table`` (stride 2 only): ALSO emit the k=2 s=2 kernel map by
+    SCATTER — each (parent slot, octant) holds at most one child (voxel
+    uniqueness), and the sorted run already pairs every child with its
+    parent slot, so ``table[octant[j], run_id[j]] = orig_index(j)`` builds
+    the exact same table the rank-kernel/searchsorted path computes
+    (child orig index IS its rank in the sorted child keys; queries
+    ``2*parent_key + delta`` are monotone in parent slot) at O(N) scatter
+    cost instead of K*Np lookups — measured 7.8 ms of the B=8/16k
+    hierarchy build (RESULTS r4 breakdown), eliminated in r5.
 
     ONE argsort does everything: the sorted run index of each child's
     parent key IS its parent's slot in the unique set, scattered back
@@ -233,8 +245,21 @@ def _downsample_one(off, valid, skey, order, capacity, stride=2):
     octant = (((off[:, 0] % stride) << 2) | ((off[:, 1] % stride) << 1)
               | (off[:, 2] % stride))
     octant = jnp.where(valid, octant, 0).astype(jnp.int32)
-    return (uoff, ukey, uvalid, jnp.sum(uvalid).astype(jnp.int32),
+    base = (uoff, ukey, uvalid, jnp.sum(uvalid).astype(jnp.int32),
             parent_idx, parent_ok, octant)
+    if not child_table:
+        return base
+    # K2_OFFSETS enumeration k = dx*4 + dy*2 + dz over {0,1}^3 equals the
+    # octant encoding above, so the scatter slot IS the offset index
+    assert stride == 2
+    oct_s = jnp.take(octant, order)                  # sorted-child octants
+    slot = jnp.where(ok, run_id * 8 + oct_s, capacity * 8)
+    cidx = jnp.zeros((capacity * 8 + 1,), jnp.int32).at[slot].set(
+        order.astype(jnp.int32))
+    chit = jnp.zeros((capacity * 8 + 1,), bool).at[slot].set(ok)
+    child_idx = cidx[:capacity * 8].reshape(capacity, 8).T   # [8, Np]
+    child_hit = chit[:capacity * 8].reshape(capacity, 8).T
+    return base + (child_idx, child_hit)
 
 
 def _child_table_one(parent_off, parent_valid, child_key, offsets=K2_OFFSETS,
@@ -329,11 +354,20 @@ def build_hierarchy(voxels: SparseVoxels, depth: int,
     for l in range(depth):
         cap = capacities[l]
         skey, order = _downsample_sort(cur.off, cur.valid)
-        uoff, ukey, uvalid, ucount, parent_idx, parent_ok, octant = jax.vmap(
-            partial(_downsample_one, capacity=cap)
+        (uoff, ukey, uvalid, ucount, parent_idx, parent_ok, octant,
+         child_idx_b, child_hit_b) = jax.vmap(
+            partial(_downsample_one, capacity=cap, child_table=True)
         )(cur.off, cur.valid, skey, order)
-        child_idx, child_hit, child_tiled = _child_tables(
-            uoff, ukey, uvalid, cur.key, K2_OFFSETS)
+        # k=2 s=2 kernel map by scatter through the downsample sort (see
+        # _downsample_one) — no searchsorted/rank-kernel lookups
+        child_idx = child_idx_b.transpose(1, 0, 2)          # [8, B, Np]
+        child_hit = child_hit_b.transpose(1, 0, 2)
+        child_tiled = None
+        if _use_rank_kernel(cur.key.shape[1], cap):
+            from ..ops.conv_pallas import build_tiled_maps
+
+            child_tiled = build_tiled_maps(child_idx, child_hit,
+                                           cur.key.shape[1])
         up_tiled = None
         if (_current_impl() in ("pallas", "pallas-int8")
                 and cur.key.shape[1] % 8 == 0):

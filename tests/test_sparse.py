@@ -302,3 +302,32 @@ class TestConv:
         g = jax.grad(loss)(w, vox.feats)
         assert np.isfinite(np.asarray(g)).all()
         assert float(jnp.abs(g).sum()) > 0
+
+
+def test_child_tables_scatter_matches_searchsorted(rng):
+    """r5: build_hierarchy's k=2 child maps are now built by scatter
+    through the downsample sort (no rank lookups) — must equal the
+    searchsorted oracle (_child_table_one) exactly."""
+    import jax
+
+    from mrcc_tpu.sparse import build_hierarchy, voxelize
+    from mrcc_tpu.sparse.hierarchy import K2_OFFSETS, _child_table_one
+    from functools import partial
+
+    pts = jnp.asarray(rng.normal(size=(2, 1500, 3)).astype(np.float32))
+    rgb = jnp.asarray(rng.random((2, 1500, 3)).astype(np.float32))
+    mask = jnp.asarray(rng.random((2, 1500)) < 0.9)
+    vox, _, _ = voxelize(pts, rgb, mask, 1 / 30.0, 1024)
+    levels = build_hierarchy(vox, 2, capacities=(512, 256))
+
+    for lf, lc in ((levels[0], levels[1]), (levels[1], levels[2])):
+        idx_o, hit_o = jax.vmap(
+            partial(_child_table_one, offsets=K2_OFFSETS, stride=2),
+            in_axes=(0, 0, 0), out_axes=(1, 1),
+        )(lc.off, lc.valid, lf.key)
+        np.testing.assert_array_equal(np.asarray(lc.child_hit),
+                                      np.asarray(hit_o))
+        # idx compared where hit (misses carry arbitrary-but-masked rows)
+        hit = np.asarray(hit_o)
+        np.testing.assert_array_equal(
+            np.asarray(lc.child_idx)[hit], np.asarray(idx_o)[hit])
