@@ -466,6 +466,12 @@ def gather_gemm_conv_tiled(feats, weights, tiled, out_valid, bias=None,
     cout = weights.shape[-1]
 
     itemsize = jnp.dtype(feats.dtype).itemsize
+    if (_stream_enabled() and not bcast_k
+            and n * 128 * itemsize > _TABLE_BUDGET):
+        # over-budget table: stream windows from HBM instead of lane-
+        # packing the resident table (no pack compares, no group split)
+        return gather_gemm_conv_streamed(feats, weights, tiled, out_valid,
+                                         bias=bias, k=k, w_width=w_width)
     c_g, n_cg, c_pad, kg, n_kg, pack = _split_plan(n, c, k, kp, itemsize)
 
     if c_pad > c:
@@ -1403,6 +1409,11 @@ def gather_gemm_conv_tiled_q8(feats, weights, tiled, out_valid, bias=None,
     cout = weights.shape[-1]
     assert n % 32 == 0, n
 
+    if (_stream_enabled() and not bcast_k
+            and n * 128 > _TABLE_BUDGET):
+        return gather_gemm_conv_streamed(feats, weights, tiled, out_valid,
+                                         bias=bias, k=k, w_width=w_width,
+                                         q8=True, act_absmax=act_absmax)
     f32 = feats.astype(jnp.float32)
     if act_absmax is None:
         act_absmax = jnp.abs(f32).max(axis=(0, 1))
@@ -1452,6 +1463,200 @@ def gather_gemm_conv_tiled_q8(feats, weights, tiled, out_valid, bias=None,
             identity_k=(identity_k if pack == 1
                         and feats.shape[1] == n_out else None),
             bcast_k=bcast_k)
+        out = contrib if out is None else out + contrib
+    out = out.astype(feats.dtype)
+    if bias is not None:
+        out = out + bias.astype(feats.dtype)
+    return jnp.where(out_valid[..., None], out, 0)
+
+
+# ------------------------------------------------------- HBM-streamed path
+#
+# Windowed conv with the feature table RESIDENT IN HBM (r5): per
+# (offset, tile) the kernel DMAs just the [W, C] window into a VMEM slot
+# ring (pltpu.make_async_copy, double-buffered across the offset loop)
+# instead of keeping the whole [N, C] table VMEM-resident.  This removes
+# the _TABLE_BUDGET constraint entirely: production-scale levels (72k+
+# rows) run UN-PACKED at full 128-lane channel groups — no pack-fold
+# extra compares, no channel-group table duplication.  HBM traffic is
+# K * nt * W * C bytes per conv (~0.4 ms at 819 GB/s for the 72k/128-lane
+# case), hidden behind the window dots.
+#
+# Inference path (table maps; misses encoded _MISS as usual).  Gated by
+# MRCC_CONV_STREAM (default: on for over-budget tables on hardware).
+
+
+_STREAM_SLOTS = 2
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("t", "w", "kg", "n_out", "cout", "out_dtype", "q8"))
+def _gather_gemm_call_hbm(idx_t, starts, nchunks, feats, w_grp, vco,
+                          t, w, kg, n_out, cout, out_dtype, q8=False):
+    """Streamed windowed gather-GEMM: feats stays in HBM (pl.ANY).
+
+    idx_t/starts/nchunks: tiled maps (build_tiled_maps), RAW rows, ONE
+    offset group (kg == K).  feats: [B, N, C] (C <= 128 lanes); w_grp:
+    [1, kg*C, Cout]; vco: [1, 1, Cout] f32 dequant scale (q8) or ones.
+    Returns [B, n_out, Cout].
+    """
+    b, n, c = feats.shape
+    nt = n_out // t
+    kp = idx_t.shape[2]
+    s_slots = _STREAM_SLOTS
+
+    def kernel(starts_ref, nchunks_ref, idx_ref, feats_ref, w_ref, vco_ref,
+               out_ref, gall_ref, win_ref, csem_ref):
+        bi = pl.program_id(0)
+        ti = pl.program_id(1)
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (t, w), 1)
+
+        def dma(j_or_st, slot, is_start):
+            st = j_or_st
+            return pltpu.make_async_copy(
+                feats_ref.at[bi, pl.ds(st, w), :],
+                win_ref.at[slot], csem_ref.at[slot])
+
+        def st_of(j):
+            flat = (j * pl.num_programs(0) + bi) * nt + ti
+            return starts_ref[flat], nchunks_ref[flat]
+
+        st0, _ = st_of(0)
+        dma(st0, 0, True).start()
+
+        for j in range(kg):
+            st, nch = st_of(j)
+            if j + 1 < kg:
+                st_n, _ = st_of(j + 1)
+                dma(st_n, (j + 1) % s_slots, True).start()
+            dma(st, j % s_slots, False).wait()
+            idxv = idx_ref[0, 0, j, :]
+            local0 = idxv - st
+            base = local0[:, None] == iota_w
+            window0 = win_ref[j % s_slots]
+            acc_t = jnp.int32 if q8 else jnp.float32
+            g = jnp.dot(base.astype(window0.dtype), window0,
+                        preferred_element_type=acc_t)
+
+            def chunk_body(ci, acc, local0=local0, st=st):
+                # rare wide spans: synchronous chunk DMA into the spare
+                # slot, disjoint index-range partition keeps adds exact
+                wst = jnp.minimum(st + ci * w, n - w)
+                wst = pl.multiple_of(wst - wst % 32, 32)
+                d = pltpu.make_async_copy(
+                    feats_ref.at[bi, pl.ds(wst, w), :],
+                    win_ref.at[s_slots], csem_ref.at[s_slots])
+                d.start()
+                d.wait()
+                lo = local0[:, None] - (wst - st)
+                oh = ((lo == iota_w)
+                      & (local0[:, None] >= ci * w)
+                      & (local0[:, None] < (ci + 1) * w))
+                win = win_ref[s_slots]
+                return acc + jnp.dot(oh.astype(win.dtype), win,
+                                     preferred_element_type=acc_t)
+
+            g = jax.lax.fori_loop(1, nch, chunk_body, g)
+            gall_ref[:, j * c:(j + 1) * c] = g.astype(gall_ref.dtype)
+
+        gemm = jnp.dot(gall_ref[:, :], w_ref[0],
+                       preferred_element_type=(jnp.int32 if q8
+                                               else jnp.float32))
+        if q8:
+            out_ref[0, :, :] = (gemm.astype(jnp.float32)
+                                * vco_ref[0, 0, :][None, :]).astype(
+                                    out_ref.dtype)
+        else:
+            out_ref[0, :, :] = gemm.astype(out_ref.dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, nt),
+        in_specs=[
+            pl.BlockSpec((1, 1, kp, t), lambda bi, ti, s1, s2:
+                         (bi, ti, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),        # feats in HBM
+            pl.BlockSpec((1, kg * c, cout), lambda bi, ti, s1, s2:
+                         (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, cout), lambda bi, ti, s1, s2: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, t, cout), lambda bi, ti, s1, s2:
+                               (bi, ti, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((t, kg * c), feats.dtype),
+            pltpu.VMEM((s_slots + 1, w, c), feats.dtype),
+            pltpu.SemaphoreType.DMA((s_slots + 1,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, n_out, cout), out_dtype),
+        grid_spec=grid_spec,
+        interpret=_interpret(),
+    )(starts, nchunks, idx_t, feats, w_grp, vco)
+
+
+def _stream_enabled() -> bool:
+    """HBM-streamed route for over-budget tables (MRCC_CONV_STREAM=1).
+    Off by default until the on-chip A/B flips it (see ROADMAP)."""
+    return os.environ.get("MRCC_CONV_STREAM", "0") == "1"
+
+
+def gather_gemm_conv_streamed(feats, weights, tiled, out_valid, bias=None,
+                              k=None, w_width=None, q8=False,
+                              act_absmax=None):
+    """Streamed conv wrapper: 128-lane channel groups over an HBM table.
+
+    Same arguments/semantics as gather_gemm_conv_tiled; intended for
+    levels whose table exceeds the VMEM budget (production scale).  For
+    ``q8`` the activation quantization matches gather_gemm_conv_tiled_q8
+    (folded per-channel scales, per-output-column weight quant per
+    group)."""
+    idx_t, starts_f, nchunks_f = tiled
+    b, n, c = feats.shape
+    t = idx_t.shape[3]
+    w_width = w_width or default_window(t, n)
+    k = k or weights.shape[0]
+    kp = idx_t.shape[2]
+    n_out = idx_t.shape[1] * t
+    cout = weights.shape[-1]
+
+    if q8:
+        f32 = feats.astype(jnp.float32)
+        if act_absmax is None:
+            act_absmax = jnp.abs(f32).max(axis=(0, 1))
+        s_c = jnp.maximum(act_absmax.astype(jnp.float32), 1e-8) / 127.0
+        table = jnp.clip(jnp.round(f32 / s_c), -127, 127).astype(jnp.int8)
+        w_eff = weights.astype(jnp.float32) * s_c[None, :, None]
+    else:
+        table = feats
+        w_eff = weights.astype(feats.dtype)
+
+    c_g = min(_padded_lanes(c), 128)
+    n_cg = -(-c // c_g)
+    c_pad = n_cg * c_g
+    if c_pad > c:
+        table = jnp.pad(table, ((0, 0), (0, 0), (0, c_pad - c)))
+        w_eff = jnp.pad(w_eff, ((0, 0), (0, c_pad - c), (0, 0)))
+
+    out = None
+    for cg in range(n_cg):
+        f_sl = table[:, :, cg * c_g:(cg + 1) * c_g]
+        w_sl = w_eff[:, cg * c_g:(cg + 1) * c_g, :]
+        if q8:
+            m_co = jnp.maximum(jnp.abs(w_sl).max(axis=(0, 1)),
+                               1e-12) / 127.0
+            w_sl = jnp.clip(jnp.round(w_sl / m_co), -127, 127).astype(
+                jnp.int8)
+            vco = m_co[None, None, :]
+        else:
+            vco = jnp.ones((1, 1, cout), jnp.float32)
+        contrib = _gather_gemm_call_hbm(
+            idx_t, starts_f, nchunks_f, f_sl, w_sl.reshape(1, k * c_g, cout),
+            vco, t=t, w=w_width, kg=k, n_out=n_out, cout=cout,
+            out_dtype=feats.dtype, q8=q8)
         out = contrib if out is None else out + contrib
     out = out.astype(feats.dtype)
     if bias is not None:
@@ -1680,14 +1885,16 @@ pallas_conv_op.defvjp(_pallas_conv_fwd, _pallas_conv_bwd)
 def _table_fits(n, itemsize) -> bool:
     """Table budget check including the lane-pack escape hatch: packing
     p in (2, 4) shrinks the 128-lane table p-fold (requires 32p-divisible
-    capacities and a table at least one packed window deep)."""
+    capacities and a table at least one packed window deep).  With the
+    HBM-streamed route enabled, any 32-row-divisible table qualifies
+    (windows are DMA'd per (offset, tile))."""
     if n * 128 * itemsize <= _TABLE_BUDGET:
         return True
     for p in (2, 4):
         if (n % (32 * p) == 0 and n // p >= 128
                 and (n // p) * 128 * itemsize <= _TABLE_BUDGET):
             return True
-    return False
+    return _stream_enabled() and n % 32 == 0
 
 
 def supported_dims(n_table, n_out, itemsize=2) -> bool:

@@ -25,6 +25,7 @@ KERNEL_SUITES = [
     "tests/test_conv_q8.py",
     "tests/test_conv_vjp.py",
     "tests/test_conv_sk.py",
+    "tests/test_conv_stream.py",
     "tests/test_rank_pallas.py",
     "tests/test_sort_pallas.py",
     "tests/test_pallas.py",
