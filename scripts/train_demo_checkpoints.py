@@ -71,6 +71,12 @@ def main():
                          "(auto|pallas|xla; auto = Pallas custom-VJP "
                          "kernels on TPU — scripts/probe_train_impl.py "
                          "measures the two)")
+    ap.add_argument("--skip-bench", action="store_true",
+                    help="train only, skip the engine build + held-out "
+                         "benchmark (chunked-training invocations: the "
+                         "tunneled runtime leaks ~11 MB of host RSS per "
+                         "dispatched train step, so long corpora train "
+                         "in resume chunks across processes)")
     ap.add_argument("--bench-only", action="store_true",
                     help="skip sample generation/training: restore all "
                          "three checkpoints at their saved epochs and run "
@@ -196,15 +202,20 @@ def main():
                                                voxel_capacity=4096)
     ktrainer = Trainer(kp_model, kp_ds, kstep, kopt, ktc, mesh=mesh,
                        exp_path=f"{args.out}/key_points", exp_name="kp")
-    khist = (None if args.bench_only else
-             ktrainer.fit(epochs=(args.kp_epochs or args.pose_epochs
-                                  or args.epochs)))
+    kp_epochs = (args.kp_epochs if args.kp_epochs is not None
+                 else (args.pose_epochs or args.epochs))
+    khist = (None if args.bench_only or kp_epochs == 0 else
+             ktrainer.fit(epochs=kp_epochs))
     if khist:
         print(f"kp: loss {khist[0]['loss']:.3f} -> {khist[-1]['loss']:.3f} "
               f"({time.time()-t0:.0f}s)", flush=True)
     else:
         print(f"kp: restored from checkpoint", flush=True)
     kp_state = ktrainer.state
+
+    if args.skip_bench:
+        print("skip-bench: training chunk done", flush=True)
+        return
 
     # ---------------- wire into the engine + benchmark
     from mrcc_tpu.app import InferenceConfig, InferenceEngine, SyntheticDataEngine
