@@ -67,6 +67,11 @@ def main():
     ap.add_argument("--backbone", default="minkunet",
                     help="flagship 18D by default")
     ap.add_argument("--global-batch", type=int, default=8)
+    ap.add_argument("--ns", default="1,2,4,8",
+                    help="mesh sizes to run (rows APPEND to --out if it "
+                         "exists — the XLA-CPU collective rendezvous has "
+                         "a 40 s termination timeout that a loaded 1-core "
+                         "box can trip, so runs are resumable per n)")
     args = ap.parse_args()
 
     import jax
@@ -112,9 +117,20 @@ def main():
                        batch_stats=variables.get("batch_stats", {}),
                        opt_state=opt.init(variables["params"]))
 
+    import json as _json
     rows = []
     ref = None
-    for n in (1, 2, 4, 8):
+    if os.path.exists(args.out):
+        with open(args.out) as fp:
+            rows = _json.load(fp).get("rows", [])
+        if rows:
+            r0 = [r for r in rows if r["n_devices"] == 1]
+            if r0:
+                ref = (r0[0]["loss"], r0[0]["post_step_param_norm"])
+    done = {r["n_devices"] for r in rows}
+    for n in tuple(int(x) for x in args.ns.split(",")):
+        if n in done:
+            continue
         mesh = make_mesh(n)
         sb = mesh_lib.shard_batch(batch, mesh)
         lowered = jax.jit(step).lower(state0, sb, 1e-3)
@@ -142,14 +158,15 @@ def main():
         # single-device step modulo f32 reduction order
         assert abs(loss - ref[0]) < 1e-4 * max(abs(ref[0]), 1.0), row
         assert abs(pnorm - ref[1]) < 1e-3 * max(ref[1], 1.0), row
-
-    out = {"backbone": args.backbone, "global_batch": args.global_batch,
-           "voxel_capacity": 1024, "rows": rows,
-           "note": "virtual CPU mesh; parity + collective placement "
-                   "evidence, not wall-clock (1-core box)"}
-    Path(args.out).parent.mkdir(parents=True, exist_ok=True)
-    with open(args.out, "w") as fp:
-        json.dump(out, fp, indent=2)
+        out = {"backbone": args.backbone,
+               "global_batch": args.global_batch,
+               "voxel_capacity": 1024,
+               "rows": sorted(rows, key=lambda r: r["n_devices"]),
+               "note": "virtual CPU mesh; parity + collective placement "
+                       "evidence, not wall-clock (1-core box)"}
+        Path(args.out).parent.mkdir(parents=True, exist_ok=True)
+        with open(args.out, "w") as fp:
+            json.dump(out, fp, indent=2)
     print(f"wrote {args.out}")
 
 
