@@ -618,7 +618,16 @@ class InferenceEngine:
         kp_pose, kp_ok, kp_coords, kp_found, kp_conf = self._kp_stage(
             params["key_points"], ee_pts, ee_rgb, ee_valid)
         if self.cfg.rot_flip_disambiguation:
-            ee_pose = self._flip_stage(None, ee_pose, kp_pose, kp_ok,
+            # RELAXED gate for the flip decision (r5): kp_ok demands >=4
+            # found keypoints (the reference's Kabsch-pose validity bar),
+            # but the BINARY branch choice has a pi/2 margin and the
+            # Kabsch solve is orientation-valid from 3 non-collinear
+            # points — frames with exactly 3 found keypoints still
+            # disambiguate instead of passing a possibly-flipped pose
+            # through (measured: pi-outliers in trained_benchmark_r5
+            # came exactly from kp_ok==False frames).
+            flip_ok = jnp.sum(kp_found, axis=-1) >= 3
+            ee_pose = self._flip_stage(None, ee_pose, kp_pose, flip_ok,
                                        ee_pts, ee_valid)
         if self.cfg.icp_enabled:
             ee_pose, kp_pose = self._icp_stage(
