@@ -618,16 +618,24 @@ class InferenceEngine:
         kp_pose, kp_ok, kp_coords, kp_found, kp_conf = self._kp_stage(
             params["key_points"], ee_pts, ee_rgb, ee_valid)
         if self.cfg.rot_flip_disambiguation:
-            # RELAXED gate for the flip decision (r5): kp_ok demands >=4
+            # RELAXED inputs for the flip decision (r5): kp_ok demands >=4
             # found keypoints (the reference's Kabsch-pose validity bar),
-            # but the BINARY branch choice has a pi/2 margin and the
-            # Kabsch solve is orientation-valid from 3 non-collinear
-            # points — frames with exactly 3 found keypoints still
-            # disambiguate instead of passing a possibly-flipped pose
-            # through (measured: pi-outliers in trained_benchmark_r5
-            # came exactly from kp_ok==False frames).
-            flip_ok = jnp.sum(kp_found, axis=-1) >= 3
-            ee_pose = self._flip_stage(None, ee_pose, kp_pose, flip_ok,
+            # but the BINARY branch choice has a pi/2 margin — so the
+            # decision uses a Kabsch pose over the union of the found
+            # classes and the 3 MOST CONFIDENT classes (argmax coords
+            # exist for every class; 3 non-collinear template points fix
+            # the orientation).  Without this, frames whose kp confidences
+            # sit under the threshold pass a possibly-flipped pose
+            # through — measured as the pi rotation outliers in
+            # trained_benchmark_r5 (max 3.03 rad).
+            from ..solve import pose_from_key_points
+
+            top3 = kp_conf >= jnp.sort(kp_conf, axis=-1)[:, -3:-2]
+            flip_found = kp_found | top3
+            flip_pose, _ = jax.vmap(pose_from_key_points)(kp_coords,
+                                                          flip_found)
+            flip_ok = jnp.sum(flip_found, axis=-1) >= 3
+            ee_pose = self._flip_stage(None, ee_pose, flip_pose, flip_ok,
                                        ee_pts, ee_valid)
         if self.cfg.icp_enabled:
             ee_pose, kp_pose = self._icp_stage(
