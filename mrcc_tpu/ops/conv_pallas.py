@@ -1513,7 +1513,10 @@ def _gather_gemm_call_hbm(idx_t, starts, nchunks, feats, w_grp, vco,
         iota_w = jax.lax.broadcasted_iota(jnp.int32, (t, w), 1)
 
         def dma(j_or_st, slot, is_start):
-            st = j_or_st
+            # starts are 32-aligned at build (build_tiled_maps) — the
+            # explicit hint is required for Mosaic to prove the DMA row
+            # offset divisible by the dtype's sublane tiling
+            st = pl.multiple_of(j_or_st, 32)
             return pltpu.make_async_copy(
                 feats_ref.at[bi, pl.ds(st, w), :],
                 win_ref.at[slot], csem_ref.at[slot])
@@ -1599,9 +1602,11 @@ def _gather_gemm_call_hbm(idx_t, starts, nchunks, feats, w_grp, vco,
 
 
 def _stream_enabled() -> bool:
-    """HBM-streamed route for over-budget tables (MRCC_CONV_STREAM=1).
-    Off by default until the on-chip A/B flips it (see ROADMAP)."""
-    return os.environ.get("MRCC_CONV_STREAM", "0") == "1"
+    """HBM-streamed route for over-budget tables.  Default ON since the
+    on-chip A/B (r5): production B=2/131k int8 9.82 vs 8.46 clouds/s
+    with the lane-packed resident path.  MRCC_CONV_STREAM=0 restores
+    the resident/packed routing."""
+    return os.environ.get("MRCC_CONV_STREAM", "1") != "0"
 
 
 def gather_gemm_conv_streamed(feats, weights, tiled, out_valid, bias=None,
