@@ -148,6 +148,10 @@ class TestLanePacked:
         from mrcc_tpu.ops import conv_pallas
 
         monkeypatch.setattr(conv_pallas, "_TABLE_BUDGET", budget)
+        # keep these tests on the lane-packed RESIDENT path: the streamed
+        # route (default since r5) would otherwise absorb the over-budget
+        # shapes and the pack plan would lose its only full-route coverage
+        monkeypatch.setenv("MRCC_CONV_STREAM", "0")
 
     def test_plan_production_shapes(self):
         """72k-voxel L0 at bf16 c=128: pack=4, c_g=32 (18 MB -> 4.6 MB)."""
